@@ -1,0 +1,373 @@
+"""Temporal operators: as-of join, lag/lead, backfill, sessionization.
+
+The reference is strictly batch with no temporal semantics (SURVEY.md §2.9);
+these operators implement the north rule's point-in-time layer over the
+sequences table:
+
+- ``asof_join``      — backward point-in-time merge on (doc_id, ingest_ts):
+                       for each left row, the latest right row with
+                       ``ts_r <= ts_l`` (SURVEY §2.4 J4 / §2.9 W1).
+- ``windowize``      — lag/lead of chosen columns, source-boundary + gap
+                       sessionization, and forward-fill (backfill) of sparse
+                       columns, all within a doc_id's timeline ordered by
+                       (ingest_ts, seq_no)  (W2-W4).
+- ``detect_heavy_keys`` — sampled heavy-hitter detection so skewed doc_ids
+                       get dedicated buckets instead of hot-spotting one
+                       shuffle partition (SURVEY §4 skew row).
+
+Execution model: ONE explicit shuffle keyed on a hash bucket of ``doc_id``
+(`groupby("bucket").map_groups`), with per-bucket work fully vectorized —
+numpy lexsort + boundary masks for windows, pandas ``merge_asof`` (C
+sorted-merge) on slim key frames for the as-of join. Token list columns
+never round-trip through pandas: group tables are reordered with
+``pa.Table.take`` which preserves the Arrow buffers' values exactly
+(byte-identity invariant, BASELINE.json:15).
+
+Ordering/watermark contract (W5): input files are unordered; all window
+semantics are defined by the explicit sort on (doc_id, ingest_ts, seq_no).
+Late rows are just rows — recompute of the affected doc buckets yields the
+same result (checkpoint granularity = bucket).
+
+Zero temporal leakage (W6): every feature at (doc, t) is a function of rows
+with ``ingest_ts <= t`` only; lag/backfill look strictly backward; ``lead``
+columns are labeled future values for *training targets*, never features —
+they are excluded from the leakage-ablation invariant by name prefix
+``lead``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+DEFAULT_SESSION_GAP_US = 3_600_000_000  # 1 hour
+
+
+# ---------------------------------------------------------------------------
+# bucketing / skew
+# ---------------------------------------------------------------------------
+def _crc_bucket_of_uniques(uniques: list[str], n_buckets: int, heavy: dict[str, int]) -> np.ndarray:
+    out = np.empty(len(uniques), dtype=np.int64)
+    for i, u in enumerate(uniques):
+        h = heavy.get(u)
+        out[i] = h if h is not None else zlib.crc32(u.encode()) % n_buckets
+    return out
+
+
+def add_bucket_column(
+    ds: Dataset, key: str = "doc_id", n_buckets: int = 64, heavy: dict[str, int] | None = None
+) -> Dataset:
+    """Append a deterministic ``bucket`` column = crc32(key) % n_buckets.
+
+    crc32 is stable across processes (unlike Python's seeded str hash), so
+    co-partitioning two datasets by calling this on both sides is safe.
+    ``heavy`` maps known heavy keys to dedicated bucket ids >= n_buckets so a
+    hot doc_id never shares a shuffle partition (skew-splitting).
+    """
+    heavy = heavy or {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dic = col.dictionary_encode()
+        idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = [str(x) for x in dic.dictionary.to_pylist()]
+        b = _crc_bucket_of_uniques(uniq, n_buckets, heavy)
+        return batch.append_column("bucket", pa.array(b[idx]))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def detect_heavy_keys(
+    ds: Dataset,
+    key: str = "doc_id",
+    n_buckets: int = 64,
+    threshold_frac: float = 0.02,
+    sample: float = 0.05,
+    seed: int = 7,
+) -> dict[str, int]:
+    """Sampled heavy-hitter detection → {heavy_key: dedicated_bucket_id}.
+
+    A key holding more than ``threshold_frac`` of sampled rows gets its own
+    bucket id starting at ``n_buckets``. Sampling keeps this O(sample) —
+    never a full groupby over the input.
+    """
+    sampled = ds.select_columns([key]).random_sample(sample, seed=seed)
+    counts: dict[str, int] = {}
+    total = 0
+    for batch in sampled.iter_batches(batch_format="pyarrow", batch_size=65536):
+        col = batch[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(col)
+        for item in vc.to_pylist():
+            counts[item["values"]] = counts.get(item["values"], 0) + item["counts"]
+            total += item["counts"]
+    if total == 0:
+        return {}
+    heavy = [k for k, c in counts.items() if c / total >= threshold_frac]
+    return {k: n_buckets + i for i, k in enumerate(sorted(heavy))}
+
+
+# ---------------------------------------------------------------------------
+# windows: lag / lead / backfill / sessionize (one pass per bucket)
+# ---------------------------------------------------------------------------
+def _ts_int(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+
+
+def _doc_codes(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    return d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def windowize(
+    ds: Dataset,
+    lag_cols: list[str] | None = None,
+    lead_cols: list[str] | None = None,
+    backfill_cols: list[str] | None = None,
+    sessionize: bool = True,
+    session_gap_us: int = DEFAULT_SESSION_GAP_US,
+    session_on_source_change: bool = True,
+    by: str = "doc_id",
+    ts_col: str = "ingest_ts",
+    tie_col: str = "seq_no",
+    n_buckets: int = 64,
+    heavy: dict[str, int] | None = None,
+) -> Dataset:
+    """Per-doc windowed columns in ONE bucket-keyed shuffle.
+
+    Adds, per input row (output rows = input rows, time-sorted within doc):
+      - ``lag1_<c>`` / ``lead1_<c>`` for each requested column (null at
+        doc/window edges)
+      - ``<c>_ffill`` forward-filled from past rows within the doc (W3 —
+        backfill of *past* observations only, never leads)
+      - ``session_id`` (int64) — increments at doc start, at a time gap >
+        ``session_gap_us``, and (optionally) whenever ``source`` changes (W4)
+    """
+    lag_cols = lag_cols or []
+    lead_cols = lead_cols or []
+    backfill_cols = backfill_cols or []
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return group
+        docs = _doc_codes(group[by])
+        ts = _ts_int(group[ts_col])
+        tie = (
+            group[tie_col].combine_chunks().to_numpy(zero_copy_only=False)
+            if tie_col in group.column_names
+            else np.arange(n)
+        )
+        order = np.lexsort((tie, ts, docs))
+        group = group.take(pa.array(order))
+        docs, ts = docs[order], ts[order]
+        new_doc = np.r_[True, docs[1:] != docs[:-1]]
+
+        out = group
+        for c in lag_cols:
+            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+            out = out.append_column(f"lag1_{c}", _shift_null(col, new_doc, forward=True))
+        for c in lead_cols:
+            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+            last_of_doc = np.r_[new_doc[1:], True]
+            out = out.append_column(f"lead1_{c}", _shift_null(col, last_of_doc, forward=False))
+
+        if sessionize:
+            gap = np.r_[False, (ts[1:] - ts[:-1]) > session_gap_us]
+            brk = new_doc | gap
+            if session_on_source_change and "source" in out.column_names:
+                src = _doc_codes(out["source"])
+                brk = brk | (np.r_[False, src[1:] != src[:-1]] & ~new_doc)
+            # session_id = session index WITHIN the doc (0-based), so it is
+            # globally meaningful regardless of bucket assignment
+            g = np.cumsum(brk).astype(np.int64)
+            start_val = np.zeros(n, dtype=np.int64)
+            start_val[new_doc] = g[new_doc]
+            np.maximum.accumulate(start_val, out=start_val)
+            out = out.append_column("session_id", pa.array(g - start_val))
+
+        for c in backfill_cols:
+            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+            valid = ~np.asarray(col.is_null())
+            idx = np.where(valid, np.arange(n), -1)
+            np.maximum.accumulate(idx, out=idx)
+            # reset carry at doc boundaries: last valid index must be >= doc start
+            doc_start = np.zeros(n, dtype=np.int64)
+            doc_start[new_doc] = np.flatnonzero(new_doc)
+            np.maximum.accumulate(doc_start, out=doc_start)
+            take = np.where(idx >= doc_start, idx, -1)
+            filled = col.take(pa.array(np.where(take >= 0, take, 0)))
+            mask = pa.array(take >= 0)
+            import pyarrow.compute as pc
+
+            out = out.append_column(f"{c}_ffill", pc.if_else(mask, filled, pa.scalar(None, col.type)))
+        return out
+
+    bds = add_bucket_column(ds, key=by, n_buckets=n_buckets, heavy=heavy)
+    res = bds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return res.drop_columns(["bucket"])
+
+
+def _shift_null(col: pa.Array, null_mask: np.ndarray, forward: bool) -> pa.Array:
+    """Shift an Arrow array by one (forward=lag, backward=lead) nulling rows
+    in ``null_mask`` — used at doc boundaries."""
+    import pyarrow.compute as pc
+
+    n = len(col)
+    if forward:
+        idx = np.r_[0, np.arange(n - 1)]
+    else:
+        idx = np.r_[np.arange(1, n), n - 1] if n else np.array([], dtype=np.int64)
+    shifted = col.take(pa.array(idx))
+    return pc.if_else(pa.array(~null_mask), shifted, pa.scalar(None, col.type))
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    value_cols: list[str],
+    by: str = "doc_id",
+    ts_col: str = "ingest_ts",
+    suffix: str = "_asof",
+    n_buckets: int = 64,
+    heavy: dict[str, int] | None = None,
+    strict: bool = False,
+) -> Dataset:
+    """Backward as-of join: latest right row with ``ts_r <= ts_l`` per key.
+
+    Both sides are co-partitioned by crc32(doc_id) % n_buckets (ONE shuffle
+    total: union → groupby(bucket)), then merged per bucket with pandas
+    ``merge_asof`` (C sorted-merge) over slim (key, ts, row-index) frames —
+    payload columns (incl. the token lists) never enter pandas; the output
+    left rows keep their exact Arrow buffers. ``strict=True`` uses
+    ``ts_r < ts_l`` (exclusive) for pipelines where same-instant attributes
+    must not be visible. Right-side timestamp ties are broken by the
+    greatest value tuple (deterministic).
+
+    Left rows with no admissible right row get nulls. Output schema =
+    left columns + ``f"{c}{suffix}"`` for each value column, plus
+    ``f"matched{suffix}_ts"`` (the matched right timestamp — lets callers
+    and tests assert the anti-leak invariant ``matched_ts <= ingest_ts``).
+    """
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+    lcols = list(l_schema.names)
+    vtypes = {c: r_schema.field(c).type for c in value_cols}
+    union_cols = lcols + value_cols  # value cols are null on the left side
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        for c in value_cols:
+            b = b.append_column(c, pa.nulls(len(b), vtypes[c]))
+        return b.append_column("__side", pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        n = len(b)
+        arrays = []
+        for c in lcols:
+            if c in (by, ts_col):
+                arrays.append(b[c])
+            else:
+                arrays.append(pa.nulls(n, l_schema.field(c).type))
+        for c in value_cols:
+            arrays.append(b[c])
+        t = pa.table(dict(zip(union_cols, arrays)))
+        return t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+
+    l_aug = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+    r_aug = right.select_columns([by, ts_col, *value_cols]).map_batches(
+        pad_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = add_bucket_column(l_aug.union(r_aug), key=by, n_buckets=n_buckets, heavy=heavy)
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 0)
+        ltbl = group.filter(lmask).drop_columns(["__side", "bucket"] + value_cols)
+        rtbl = group.filter(pa.array(side == 1))
+        nl, nr = len(ltbl), len(rtbl)
+        if nl == 0:
+            return _empty_asof_schema(ltbl, value_cols, vtypes, ts_col, suffix)
+        if nr == 0:
+            out = ltbl
+            for c in value_cols:
+                out = out.append_column(f"{c}{suffix}", pa.nulls(nl, vtypes[c]))
+            return out.append_column(f"matched{suffix}_ts", pa.nulls(nl, pa.timestamp("us")))
+        lf = pd.DataFrame(
+            {
+                "doc": ltbl[by].combine_chunks().to_pandas(),
+                "ts": _ts_int(ltbl[ts_col]),
+                "idx": np.arange(nl, dtype=np.int64),
+            }
+        ).sort_values("ts", kind="stable")
+        rts = _ts_int(rtbl[ts_col])
+        rdata = {
+            "doc": rtbl[by].combine_chunks().to_pandas(),
+            "ts": rts,
+            "__rts": rts,  # carried payload: the matched right timestamp
+        }
+        for c in value_cols:
+            rdata[c] = rtbl[c].combine_chunks().to_pandas()
+        rf = pd.DataFrame(rdata)
+        # deterministic tie-break among equal right timestamps: greatest
+        # value tuple wins (merge_asof picks the last row in frame order)
+        rf = rf.sort_values(["ts", *value_cols], kind="stable")
+        merged = pd.merge_asof(
+            lf,
+            rf,
+            on="ts",
+            by="doc",
+            direction="backward",
+            allow_exact_matches=not strict,
+        )
+        back = np.argsort(merged["idx"].to_numpy(), kind="stable")
+        merged = merged.iloc[back]
+        out = ltbl
+        for c in value_cols:
+            out = out.append_column(
+                f"{c}{suffix}", pa.array(merged[c], type=vtypes[c], from_pandas=True)
+            )
+        mts = merged["__rts"].astype("float64").to_numpy()
+        mts_arr = pa.array(
+            np.where(np.isnan(mts), 0, mts).astype(np.int64), type=pa.timestamp("us")
+        )
+        valid = pa.array(~np.isnan(mts))
+        import pyarrow.compute as pc
+
+        return out.append_column(
+            f"matched{suffix}_ts", pc.if_else(valid, mts_arr, pa.scalar(None, pa.timestamp("us")))
+        )
+
+    res = both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+    return res
+
+
+def _empty_asof_schema(ltbl: pa.Table, value_cols, vtypes, ts_col, suffix) -> pa.Table:
+    out = ltbl
+    for c in value_cols:
+        out = out.append_column(f"{c}{suffix}", pa.nulls(0, vtypes[c]))
+    return out.append_column(f"matched{suffix}_ts", pa.nulls(0, pa.timestamp("us")))
