@@ -1,0 +1,129 @@
+"""Distributed CompareScores: per-class top-N overlap (Jaccard) across methods.
+
+Re-expresses /root/reference/modlyn/eval/_jaccard.py:25-82 over tall score
+tables ``(class, token_id, score, method)`` instead of wide pandas frames:
+
+- alignment = keep only (class, token_id) pairs present in EVERY method
+  (the reference's set-intersection of index/columns, :30-36)
+- per class: top-N token sets by |score| per method, pairwise Jaccard for
+  each n_top (:40-64) — computed inside ONE groupby("class").map_groups
+  pass, so each class's (n_methods x vocab) slice is handled by one task
+- the "Random baseline" rows use the closed form (2k)/(2G-k) clamped to 1.0
+  when k >= G (:66-79)
+
+Output is the reference's tidy schema: (cell_line, n_top, method_pair,
+jaccard) with null cell_line on baseline rows.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+DEFAULT_N_TOP = [25, 50, 100, 200]  # _jaccard.py:19-20
+
+
+def _to_dataset(x) -> Dataset:
+    import ray.data as rd
+
+    if isinstance(x, Dataset):
+        return x
+    if isinstance(x, pa.Table):
+        return rd.from_arrow(x)
+    if isinstance(x, pd.DataFrame):
+        return rd.from_pandas(x)
+    raise TypeError(type(x))
+
+
+def compute_jaccard_comparison(
+    score_tables: list, n_top_values: list[int] | None = None
+) -> pd.DataFrame:
+    """``score_tables``: tall tables/Datasets, each with a single distinct
+    ``method`` value (the df.attrs["method_name"] analog)."""
+    n_top_values = n_top_values or DEFAULT_N_TOP
+    dss = [_to_dataset(t) for t in score_tables]
+    union = dss[0].union(*dss[1:]) if len(dss) > 1 else dss[0]
+    method_names: list[str] = []
+    for ds in dss:
+        names = ds.unique("method")
+        if len(names) != 1:
+            raise ValueError(f"each score table must carry one method, got {names}")
+        method_names.append(names[0])
+    n_methods = len(method_names)
+
+    # alignment: (class, token) pairs present in every method; classes
+    # present in every method. Done distributed in the per-class pass below
+    # after a token-level filter, mirroring set.intersection (:30-32).
+    classes_per_method = [set(ds.unique("class")) for ds in dss]
+    common_classes = sorted(set.intersection(*classes_per_method))
+
+    def per_class(group: pd.DataFrame) -> pd.DataFrame:
+        cls = group["class"].iloc[0]
+        if cls not in common_classes:
+            return pd.DataFrame(
+                {"cell_line": [], "n_top": [], "method_pair": [], "jaccard": []}
+            )
+        # keep tokens scored by ALL methods for this class-slice's alignment
+        piv = group.pivot_table(
+            index="token_id", columns="method", values="score", aggfunc="first"
+        )
+        piv = piv.dropna(axis=0, how="any")
+        rows = []
+        for n_top in n_top_values:
+            tops = {
+                m: set(piv[m].abs().nlargest(n_top).index) for m in method_names
+            }
+            for m1, m2 in combinations(method_names, 2):
+                inter = len(tops[m1] & tops[m2])
+                union_n = len(tops[m1] | tops[m2])
+                rows.append(
+                    {
+                        "cell_line": cls,
+                        "n_top": n_top,
+                        "method_pair": f"{m1}↔{m2}",
+                        "jaccard": inter / union_n if union_n > 0 else 0.0,
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    res = (
+        union.groupby("class")
+        .map_groups(per_class, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # G = number of commonly-scored tokens (reference: len(common_genes)).
+    # token sets per method are vocab-sized -> driver sets are fine here;
+    # for huge vocabs use a groupby(token_id).count()==n_methods aggregate.
+    token_sets = [set(ds.unique("token_id")) for ds in dss]
+    n_genes = len(set.intersection(*token_sets))
+    base = []
+    for n_top in n_top_values:
+        rj = 1.0 if n_top >= n_genes else (2 * n_top) / (2 * n_genes - n_top)
+        base.append(
+            {"cell_line": None, "n_top": n_top, "method_pair": "Random baseline", "jaccard": rj}
+        )
+    res = pd.concat([res, pd.DataFrame(base)], ignore_index=True)
+    return res.sort_values(["n_top", "method_pair", "cell_line"], na_position="last").reset_index(
+        drop=True
+    )
+
+
+def topk_per_class(scores: Dataset, k: int, score_col: str = "score") -> Dataset:
+    """Per-class top-k tokens by |score| (SURVEY §2.6 K1) — np.argpartition
+    inside map_groups, no global sort."""
+
+    def top(group: pd.DataFrame) -> pd.DataFrame:
+        a = group[score_col].abs().to_numpy()
+        kk = min(k, len(a))
+        idx = np.argpartition(-a, kk - 1)[:kk]
+        out = group.iloc[idx].copy()
+        out["rank"] = np.argsort(-out[score_col].abs().to_numpy(), kind="stable").argsort() + 1
+        return out.sort_values("rank")
+
+    return scores.groupby("class").map_groups(top, batch_format="pandas")

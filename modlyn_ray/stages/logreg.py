@@ -1,0 +1,348 @@
+"""SimpleLogReg-equivalent: distributed softmax regression over token counts.
+
+Re-expresses the reference's training path
+(/root/reference/modlyn/models/_simple_logreg_model.py — torch Linear :47,
+cross-entropy + Adam :70-83,105-108, lr=1e-2 / weight_decay=1e-2 defaults
+:35-38, max_steps/max_epochs :120-123) without torch:
+
+- the *golden* path (``fit_logreg``) is a deterministic driver-orchestrated
+  loop over ``ds.iter_batches`` in canonical (seq_no) order with a numpy
+  Adam matching torch semantics (L2 folded into the gradient, bias-corrected
+  moments, eps inside the sqrt denominator) — SURVEY.md §7.4 point 1.
+  Weights are zero-initialised (torch's random init is replaced by a
+  deterministic choice; documented divergence).
+- the *scale* path (``fit_logreg_fullbatch``) runs synchronous full-gradient
+  Adam: per-epoch gradient partials computed cluster-wide in ``map_batches``
+  against broadcast weights (ray.put once per step), tree-summed via a tiny
+  aggregate. Different update schedule than the reference (documented);
+  use for corpora where a driver loop cannot stream fast enough.
+
+Features are the implicit bag-of-tokens count matrix — never densified:
+each Arrow batch's (row, token, count) triples are derived zero-copy from
+list offsets (SURVEY §2.2 M1) and used in scatter-based sparse matmuls.
+
+The label encoding mirrors sklearn LabelEncoder fitted on train only
+(classes = lexicographically sorted unique labels,
+/root/reference/modlyn/models/_simple_logreg_datamodule.py:84-88); the
+eval path deliberately REUSES the train encoder instead of refitting
+(the reference refits at _simple_logreg_model.py:235-236 — a latent
+ordering bug we do not reproduce; SURVEY §7.4 point 6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+# ---------------------------------------------------------------------------
+# batch feature extraction (shared by train + inference)
+# ---------------------------------------------------------------------------
+def batch_rtc(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """(rows, tokens, counts, n_rows) triples of the implicit count matrix."""
+    n = len(batch)
+    toks = batch["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if len(flat) == 0:
+        return row_idx, flat, np.array([], dtype=np.float64), n
+    vmax = int(flat.max()) + 1
+    key = row_idx * vmax + flat
+    uniq, cnt = np.unique(key, return_counts=True)
+    return uniq // vmax, uniq % vmax, cnt.astype(np.float64), n
+
+
+def batch_logits(
+    batch: pa.Table, W: np.ndarray, b: np.ndarray, log1p: bool = False
+) -> np.ndarray:
+    rows, toks, cnt, n = batch_rtc(batch)
+    x = np.log1p(cnt) if log1p else cnt
+    logits = np.broadcast_to(b, (n, len(b))).copy()
+    if len(toks):
+        np.add.at(logits, rows, (W[:, toks] * x).T)
+    return logits
+
+
+@dataclass
+class AdamState:
+    m: np.ndarray
+    v: np.ndarray
+    t: int = 0
+
+    @classmethod
+    def like(cls, w: np.ndarray) -> "AdamState":
+        return cls(np.zeros_like(w), np.zeros_like(w))
+
+    def update(self, w: np.ndarray, g: np.ndarray, lr: float, beta1=0.9, beta2=0.999, eps=1e-8):
+        self.t += 1
+        self.m = beta1 * self.m + (1 - beta1) * g
+        self.v = beta2 * self.v + (1 - beta2) * g * g
+        mh = self.m / (1 - beta1**self.t)
+        vh = self.v / (1 - beta2**self.t)
+        w -= lr * mh / (np.sqrt(vh) + eps)
+
+
+@dataclass
+class LogRegConfig:
+    """Hyperparameter surface mirroring the reference
+    (_simple_logreg_model.py:31-38,110-124 + quickstart budget)."""
+
+    vocab: int
+    lr: float = 1e-2
+    weight_decay: float = 1e-2
+    batch_size: int = 256
+    max_steps: int = 50
+    max_epochs: int = 4
+    log1p: bool = False
+    method_name: str = "modlyn_logreg"
+
+
+@dataclass
+class LogRegModel:
+    W: np.ndarray  # (K, V) float32
+    b: np.ndarray  # (K,) float32
+    classes: list[str]
+    config: LogRegConfig
+    losses: list[float] = field(default_factory=list)
+
+    def weights_tall(self) -> pa.Table:
+        """Tall equivalent of get_weights()
+        (/root/reference/modlyn/models/_simple_logreg_model.py:170-192):
+        one row per (class, token_id), class order = sorted classes."""
+        K, V = self.W.shape
+        return pa.table(
+            {
+                "class": pa.array(np.repeat(self.classes, V).tolist()),
+                "token_id": pa.array(np.tile(np.arange(V, dtype=np.int32), K)),
+                "weight": pa.array(self.W.ravel().astype(np.float32)),
+                "bias": pa.array(np.repeat(self.b.astype(np.float32), V)),
+                "method": pa.array([self.config.method_name] * (K * V)),
+            }
+        )
+
+    def weights_wide(self) -> pd.DataFrame:
+        """Reference-shaped wide frame (classes x features) with
+        attrs['method_name'] — driver-side presentation only."""
+        df = pd.DataFrame(self.W, index=self.classes, columns=np.arange(self.W.shape[1]))
+        df.attrs["method_name"] = self.config.method_name
+        return df
+
+
+def train_classes(ds: Dataset) -> list[str]:
+    """Lexicographically sorted unique labels == LabelEncoder.classes_."""
+    return sorted(ds.unique("source"))
+
+
+def fit_logreg(ds: Dataset, config: LogRegConfig, classes: list[str] | None = None) -> LogRegModel:
+    """Golden path: deterministic minibatch Adam over seq_no-ordered batches.
+
+    The update sequence is identical to the numpy oracle given the same
+    config, so distributed-vs-oracle parity is exact up to float noise
+    (SURVEY §7.4 hard part 1).
+    """
+    from ray.data import DataContext
+
+    classes = classes or train_classes(ds)
+    lut = {c: i for i, c in enumerate(classes)}
+    K, V = len(classes), config.vocab
+    W = np.zeros((K, V), dtype=np.float64)
+    b = np.zeros(K, dtype=np.float64)
+    sW, sb = AdamState.like(W), AdamState.like(b)
+    losses: list[float] = []
+    step = 0
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        ordered = ds.sort("seq_no")
+        for _epoch in range(config.max_epochs):
+            if step >= config.max_steps:
+                break
+            for batch in ordered.iter_batches(
+                batch_size=config.batch_size, batch_format="pyarrow"
+            ):
+                if step >= config.max_steps:
+                    break
+                rows, toks, cnt, n = batch_rtc(batch)
+                x = np.log1p(cnt) if config.log1p else cnt
+                y = np.array([lut[s] for s in batch["source"].to_pylist()], dtype=np.int64)
+                logits = np.broadcast_to(b, (n, K)).copy()
+                if len(toks):
+                    np.add.at(logits, rows, (W[:, toks] * x).T)
+                logits -= logits.max(axis=1, keepdims=True)
+                expl = np.exp(logits)
+                p = expl / expl.sum(axis=1, keepdims=True)
+                losses.append(float(-np.log(np.maximum(p[np.arange(n), y], 1e-300)).mean()))
+                d = p
+                d[np.arange(n), y] -= 1.0
+                d /= n
+                gW = config.weight_decay * W
+                if len(toks):
+                    gWT = np.zeros((V, K))
+                    np.add.at(gWT, toks, d[rows] * x[:, None])
+                    gW += gWT.T
+                gb = d.sum(axis=0)
+                step += 1
+                sW.update(W, gW, config.lr)
+                sb.update(b, gb, config.lr)
+    finally:
+        ctx.execution_options.preserve_order = prev
+    return LogRegModel(W.astype(np.float32), b.astype(np.float32), classes, config, losses)
+
+
+def fit_logreg_fullbatch(
+    ds: Dataset, config: LogRegConfig, classes: list[str] | None = None, steps: int = 20
+) -> LogRegModel:
+    """Scale path: synchronous full-gradient Adam, one cluster-wide pass per
+    step. Gradient partials are computed in map_batches against weights
+    broadcast with ray.put (once per step, read by every task — never
+    re-shipped per batch) and combined with a driver-side sum over the tiny
+    (K x V) partials."""
+    classes = classes or train_classes(ds)
+    lut = {c: i for i, c in enumerate(classes)}
+    K, V = len(classes), config.vocab
+    W = np.zeros((K, V), dtype=np.float64)
+    b = np.zeros(K, dtype=np.float64)
+    sW, sb = AdamState.like(W), AdamState.like(b)
+    losses: list[float] = []
+    n_total = ds.count()
+
+    for _ in range(steps):
+        ref = ray.put((W, b))
+        log1p = config.log1p
+        lut_local = dict(lut)
+
+        def grad_partial(batch: pa.Table) -> pa.Table:
+            Wl, bl = ray.get(ref)
+            rows, toks, cnt, n = batch_rtc(batch)
+            x = np.log1p(cnt) if log1p else cnt
+            y = np.array([lut_local[s] for s in batch["source"].to_pylist()], dtype=np.int64)
+            logits = np.broadcast_to(bl, (n, len(bl))).copy()
+            if len(toks):
+                np.add.at(logits, rows, (Wl[:, toks] * x).T)
+            logits -= logits.max(axis=1, keepdims=True)
+            expl = np.exp(logits)
+            p = expl / expl.sum(axis=1, keepdims=True)
+            loss_sum = float(-np.log(np.maximum(p[np.arange(n), y], 1e-300)).sum())
+            d = p
+            d[np.arange(n), y] -= 1.0
+            gWT = np.zeros((Wl.shape[1], len(bl)))
+            if len(toks):
+                np.add.at(gWT, toks, d[rows] * x[:, None])
+            return pa.table(
+                {
+                    "gW": pa.array([gWT.T.ravel()], type=pa.list_(pa.float64())),
+                    "gb": pa.array([d.sum(axis=0)], type=pa.list_(pa.float64())),
+                    "loss_sum": pa.array([loss_sum]),
+                    "n": pa.array([n]),
+                }
+            )
+
+        parts = ds.map_batches(grad_partial, batch_format="pyarrow", batch_size=8192).take_all()
+        gW = np.zeros((K, V))
+        gb = np.zeros(K)
+        loss_sum = 0.0
+        for r in parts:
+            gW += np.asarray(r["gW"]).reshape(K, V)
+            gb += np.asarray(r["gb"])
+            loss_sum += r["loss_sum"]
+        gW = gW / n_total + config.weight_decay * W
+        gb = gb / n_total
+        losses.append(loss_sum / n_total)
+        sW.update(W, gW, config.lr)
+        sb.update(b, gb, config.lr)
+    return LogRegModel(W.astype(np.float32), b.astype(np.float32), classes, config, losses)
+
+
+# ---------------------------------------------------------------------------
+# inference: actor-pool scorer (SURVEY §2.3 T3)
+# ---------------------------------------------------------------------------
+class LogRegScorer:
+    """Actor-pool batch scorer: weights loaded ONCE per actor in __init__
+    from a ray.put handle (broadcast, zero-copy object-store read), applied
+    per batch in __call__."""
+
+    def __init__(self, model_ref, log1p: bool = False):
+        W, b, classes = ray.get(model_ref)
+        self.W = np.asarray(W, dtype=np.float64)
+        self.b = np.asarray(b, dtype=np.float64)
+        self.classes = np.asarray(classes)
+        self.log1p = log1p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        logits = batch_logits(batch, self.W, self.b, self.log1p)
+        pred = logits.argmax(axis=1)
+        return batch.append_column("pred_source", pa.array(self.classes[pred].tolist()))
+
+
+def predict(ds: Dataset, model: LogRegModel, concurrency: int = 4, batch_size: int = 4096) -> Dataset:
+    ref = ray.put((model.W, model.b, model.classes))
+    return ds.map_batches(
+        LogRegScorer,
+        fn_constructor_kwargs={"model_ref": ref, "log1p": model.config.log1p},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# metrics from confusion partials (SURVEY §2.3 T4 / §2.5 A5)
+# ---------------------------------------------------------------------------
+def confusion_matrix(ds: Dataset, classes: list[str], pred_col="pred_source", true_col="source") -> np.ndarray:
+    """Per-batch partial confusion counts -> groupby sum -> (K, K) int64.
+    Rows = true class, cols = predicted."""
+    K = len(classes)
+    lut = {c: i for i, c in enumerate(classes)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = np.array([lut[s] for s in batch[true_col].to_pylist()], dtype=np.int64)
+        p = np.array([lut[s] for s in batch[pred_col].to_pylist()], dtype=np.int64)
+        key = t * K + p
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cell": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    cm = np.zeros((K, K), dtype=np.int64)
+    for r in agg:
+        cm[r["cell"] // K, r["cell"] % K] = r["n"]
+    return cm
+
+
+def classification_metrics(cm: np.ndarray, classes: list[str]) -> dict:
+    """accuracy, macro/weighted F1 and per-class P/R/F1 from a confusion
+    matrix — the sklearn formulas used at _simple_logreg_model.py:239-251."""
+    support = cm.sum(axis=1)
+    tp = np.diag(cm).astype(np.float64)
+    prec = np.divide(tp, cm.sum(axis=0), out=np.zeros_like(tp), where=cm.sum(axis=0) > 0)
+    rec = np.divide(tp, support, out=np.zeros_like(tp), where=support > 0)
+    f1 = np.divide(2 * prec * rec, prec + rec, out=np.zeros_like(tp), where=(prec + rec) > 0)
+    total = cm.sum()
+    return {
+        "accuracy": float(tp.sum() / total) if total else 0.0,
+        "macro_f1": float(f1.mean()),
+        "weighted_f1": float((f1 * support).sum() / support.sum()) if support.sum() else 0.0,
+        "per_class": {
+            c: {"precision": float(prec[i]), "recall": float(rec[i]), "f1": float(f1[i]), "support": int(support[i])}
+            for i, c in enumerate(classes)
+        },
+    }

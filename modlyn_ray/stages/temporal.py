@@ -138,6 +138,7 @@ def windowize(
     lag_cols: list[str] | None = None,
     lead_cols: list[str] | None = None,
     backfill_cols: list[str] | None = None,
+    prefix_sum_cols: list[str] | None = None,
     sessionize: bool = True,
     session_gap_us: int = DEFAULT_SESSION_GAP_US,
     session_on_source_change: bool = True,
@@ -154,12 +155,16 @@ def windowize(
         doc/window edges)
       - ``<c>_ffill`` forward-filled from past rows within the doc (W3 —
         backfill of *past* observations only, never leads)
+      - ``cum_<c>`` inclusive prefix sum within the doc timeline — the
+        zero-leakage point-in-time accumulator (W6: value at t depends only
+        on rows with ingest_ts <= t)
       - ``session_id`` (int64) — increments at doc start, at a time gap >
         ``session_gap_us``, and (optionally) whenever ``source`` changes (W4)
     """
     lag_cols = lag_cols or []
     lead_cols = lead_cols or []
     backfill_cols = backfill_cols or []
+    prefix_sum_cols = prefix_sum_cols or []
 
     def per_bucket(group: pa.Table) -> pa.Table:
         n = len(group)
@@ -199,6 +204,15 @@ def windowize(
             start_val[new_doc] = g[new_doc]
             np.maximum.accumulate(start_val, out=start_val)
             out = out.append_column("session_id", pa.array(g - start_val))
+
+        for c in prefix_sum_cols:
+            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+            v = np.nan_to_num(col.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
+            g = np.cumsum(v)
+            starts = np.flatnonzero(new_doc)
+            start_offset = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0.0)
+            doc_ord = np.cumsum(new_doc) - 1  # doc index per row within bucket
+            out = out.append_column(f"cum_{c}", pa.array(g - start_offset[doc_ord]))
 
         for c in backfill_cols:
             col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
