@@ -1,0 +1,84 @@
+"""Reader registry with alias normalization (SURVEY §2.10 X1).
+
+Mirrors the reference's pluggable ``dataset_type`` backend surface
+(/root/reference/modlyn/models/_simple_logreg_model.py:116-120,141-150 and
+the alias map tested at tests/test_dataset_type_alias.py:54,62-63): a string
+key selects the reader, loose aliases normalize to canonical names, and
+read kwargs pass through (X2).
+
+Canonical readers:
+- "parquet"  — files or shard directories (the zarr-shard-store analog,
+  /root/reference/docs/quickstart.ipynb:97-108); supports ``columns``
+  projection pushdown (M8) and pyarrow filter expressions.
+- "memory"   — an in-memory pyarrow Table / pandas DataFrame (the
+  ``artifact.load()`` in-memory path, quickstart:113-117).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import pyarrow as pa
+
+from ray.data import Dataset
+
+# alias → canonical, in the spirit of the reference's
+# {"in-memory": "in_memory", "dask-arrayloader": "dask_arrayloader", ...}
+ALIASES = {
+    "parquet": "parquet",
+    "pq": "parquet",
+    "dir": "parquet",
+    "shards": "parquet",
+    "lazy": "parquet",
+    "memory": "memory",
+    "in-memory": "memory",
+    "in_memory": "memory",
+    "inmemory": "memory",
+}
+
+
+def normalize_reader(name: str) -> str:
+    key = name.strip().lower()
+    if key not in ALIASES:
+        raise ValueError(
+            f"unknown dataset type {name!r}; known: {sorted(set(ALIASES))}"
+        )
+    return ALIASES[key]
+
+
+def _read_parquet(source, **kwargs) -> Dataset:
+    import ray.data as rd
+
+    return rd.read_parquet(source, **kwargs)
+
+
+def _read_memory(source, **kwargs) -> Dataset:
+    import pandas as pd
+
+    import ray.data as rd
+
+    if isinstance(source, pa.Table):
+        return rd.from_arrow(source)
+    if isinstance(source, pd.DataFrame):
+        return rd.from_pandas(source)
+    raise TypeError(f"memory reader expects a pyarrow Table or pandas DataFrame, got {type(source)}")
+
+
+READERS: dict[str, Callable[..., Dataset]] = {
+    "parquet": _read_parquet,
+    "memory": _read_memory,
+}
+
+
+def load(source, dataset_type: str = "parquet", **kwargs) -> Dataset:
+    """Load a Dataset through the registry; kwargs pass through (X2)."""
+    return READERS[normalize_reader(dataset_type)](source, **kwargs)
+
+
+def sniff_layout(path: str) -> str:
+    """Store-layout probe (S4 analog): 'sharded' for a directory of parquet
+    files, 'single' for one file."""
+    if os.path.isdir(path):
+        return "sharded"
+    return "single"

@@ -1,0 +1,251 @@
+"""Text analysis over document tables: tokenize, token stats, quality,
+language-ID, fingerprints.
+
+Large-scale training-data ops beyond the reference's operator set (the
+reference consumes pre-tokenized matrices; these stages produce them from
+raw text). All hot paths are vectorized: pyarrow.compute string kernels for
+split/length, numpy for the ratio math; the LangId stage is an actor-pool
+class (stopword tables built once per actor — SURVEY guide pattern).
+
+Determinism contract: tokenization is a single-space split (mirrors the
+DuckDB oracle ``string_split(text, ' ')`` exactly, including empty tokens
+from repeated spaces); token ids for the sequences contract are
+crc32(word) % vocab (process-stable).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+# a tiny multilingual stopword table for the n-gram/stopword language
+# heuristic; deliberately small and fixed so the SQL oracle can mirror it
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "les", "et", "de"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+LANG_ORDER = ("de", "en", "es", "fr")  # tie-break: lexicographic
+
+
+def split_words(batch: pa.Table, text_col: str = "text") -> pa.ListArray:
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.split_pattern(col, " ")
+
+
+def tokenize(
+    ds: Dataset, text_col: str = "text", vocab: int | None = None
+) -> Dataset:
+    """Add ``words`` (list<string>) + ``n_words``; with ``vocab`` also add
+    ``tokens`` (list<int32> of crc32(word) % vocab) + ``n_tok`` — producing
+    the engine's sequences contract from raw text."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words = split_words(batch, text_col)
+        out = batch.append_column("words", words)
+        out = out.append_column("n_words", pc.list_value_length(words).cast(pa.int32()))
+        if vocab is not None:
+            flat = words.flatten()
+            uniq = pc.unique(flat)
+            lut = {u: zlib.crc32(u.encode()) % vocab for u in uniq.to_pylist()}
+            dic = flat.dictionary_encode()
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            mapped = np.array(
+                [lut[u] for u in dic.dictionary.to_pylist()], dtype=np.int32
+            )
+            offsets = words.offsets
+            toks = pa.ListArray.from_arrays(offsets, pa.array(mapped[codes]))
+            out = out.append_column("tokens", toks)
+            out = out.append_column("n_tok", pc.list_value_length(toks).cast(pa.int32()))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def word_stats(
+    ds: Dataset, group_col: str = "source", text_col: str = "text", min_count: int = 1
+) -> Dataset:
+    """Per-(group, word) occurrence count + document frequency — the string
+    analog of count_stats partials: per-batch pre-aggregation, ONE groupby
+    over (group, word) partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = split_words(batch, text_col)
+        n = len(batch)
+        flat = words.flatten()
+        offs = words.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        gdic = gcol.dictionary_encode()
+        wdic = flat.dictionary_encode()
+        wcodes = wdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = len(wdic.dictionary)
+        # (row, word) counts -> (group, word) occ + df
+        key_rw = row_idx * nw + wcodes
+        uniq_rw, c_rw = np.unique(key_rw, return_counts=True)
+        row_of = uniq_rw // nw
+        word_of = uniq_rw % nw
+        grp_of = gdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)[row_of]
+        key_gw = grp_of * nw + word_of
+        uniq_gw, inv = np.unique(key_gw, return_inverse=True)
+        occ = np.bincount(inv, weights=c_rw.astype(np.float64))
+        df = np.bincount(inv)
+        gnames = np.asarray([str(x) for x in gdic.dictionary.to_pylist()], dtype=object)
+        wnames = np.asarray([str(x) for x in wdic.dictionary.to_pylist()], dtype=object)
+        return pa.table(
+            {
+                group_col: pa.array(gnames[(uniq_gw // nw)].tolist(), type=pa.string()),
+                "word": pa.array(wnames[(uniq_gw % nw)].tolist(), type=pa.string()),
+                "occ": pa.array(occ),
+                "df": pa.array(df.astype(np.float64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "word"])
+        .aggregate(Sum("occ", alias_name="occ_f"), Sum("df", alias_name="df_f"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "word": batch["word"],
+                "occ": batch["occ_f"].cast(pa.int64()),
+                "df": batch["df_f"].cast(pa.int64()),
+            }
+        )
+        if min_count > 1:
+            t = t.filter(pc.greater_equal(t["occ"], min_count))
+        return t
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def quality_scores(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Per-doc quality signals: n_words, n_chars, avg word length, stopword
+    ratio, distinct-word ratio — all vectorized arrow/numpy."""
+    stop = set(LANG_MARKERS["en"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words = split_words(batch, text_col)
+        n = len(batch)
+        flat = words.flatten()
+        offs = words.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        n_words = lens.astype(np.int64)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+        pad = np.zeros(len(wlen) + 1)
+        np.cumsum(wlen, out=pad[1:])
+        sum_wlen = pad[offs[1:]] - pad[offs[:-1]]
+        avg_word_len = np.divide(
+            sum_wlen, n_words, out=np.zeros(n), where=n_words > 0
+        )
+        is_stop = pc.is_in(flat, value_set=pa.array(sorted(stop))).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        pad2 = np.zeros(len(is_stop) + 1)
+        np.cumsum(is_stop, out=pad2[1:])
+        stop_cnt = pad2[offs[1:]] - pad2[offs[:-1]]
+        stop_ratio = np.divide(stop_cnt, n_words, out=np.zeros(n), where=n_words > 0)
+        # distinct-word ratio per row
+        dic = flat.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nw = max(len(dic.dictionary), 1)
+        distinct = np.zeros(n, dtype=np.int64)
+        ukeys = np.unique(row_idx * nw + codes)
+        np.add.at(distinct, ukeys // nw, 1)
+        distinct_ratio = np.divide(
+            distinct.astype(np.float64), n_words, out=np.zeros(n), where=n_words > 0
+        )
+        return (
+            batch.append_column("n_words", pa.array(n_words))
+            .append_column("avg_word_len", pa.array(avg_word_len))
+            .append_column("stop_ratio", pa.array(stop_ratio))
+            .append_column("distinct_ratio", pa.array(distinct_ratio))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangId:
+    """Actor-pool language-ID: stopword marker tables compiled once per
+    actor (__init__), scored per batch (__call__) — SURVEY §2.3 pattern."""
+
+    def __init__(self):
+        self.markers = {
+            lang: pa.array(sorted(ws)) for lang, ws in LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words = split_words(batch)
+        n = len(batch)
+        flat = words.flatten()
+        offs = words.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        scores = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+        for j, lang in enumerate(LANG_ORDER):
+            hit = pc.is_in(flat, value_set=self.markers[lang]).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            pad = np.zeros(len(hit) + 1, dtype=np.int64)
+            np.cumsum(hit, out=pad[1:])
+            scores[:, j] = pad[offs[1:]] - pad[offs[:-1]]
+        best = scores.argmax(axis=1)  # ties -> first in LANG_ORDER (lexicographic)
+        none = scores.max(axis=1) == 0
+        langs = np.asarray(LANG_ORDER, dtype=object)[best]
+        langs[none] = "und"
+        return batch.append_column("lang_pred", pa.array(langs.tolist(), type=pa.string()))
+
+
+def lang_id(ds: Dataset, concurrency: int = 2, batch_size: int = 4096) -> Dataset:
+    return ds.map_batches(
+        LangId,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def fingerprint(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Content fingerprint per doc: md5 hex of the text bytes (exactly
+    DuckDB's md5()) + a 64-bit rolling polynomial word hash for
+    shingling-style dedup."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        roll = np.zeros(len(texts), dtype=np.uint64)
+        P = np.uint64(1099511628211)
+        for i, t in enumerate(texts):
+            h = np.uint64(14695981039346656037)
+            for w in t.split(" "):
+                h = (h * P) ^ np.uint64(zlib.crc32(w.encode()))
+            roll[i] = h
+        return batch.append_column("md5", pa.array(md5s)).append_column(
+            "rolling_hash", pa.array(roll.view(np.int64))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
