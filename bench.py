@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline feature-vector throughput + per-query times.
+
+Plain run (one JSON line on stdout):
+    python bench.py                # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+                                   # $RAY_GRAFT_CPUS (default 32)
+Scaling evidence (north rule: N vs 4N):
+    python bench.py --scaling      # fresh processes at 8 and 32 CPUs over the
+                                   # SAME input; prints both + efficiency
+
+Headline = the flagship point-in-time feature pipeline (windowize + as-of +
+prefix accumulators) over the deterministic synthetic sequences corpus
+(BENCH profile: 2M rows / 32k vocab / 32 shards, cached under /tmp), plus
+count-stats scoring — the north-star "feature-vector throughput" surface,
+reported in sequences/sec and tokens/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_benchmark() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from modlyn_ray import synth
+    from modlyn_ray.pipelines.flagship import pit_features
+    from modlyn_ray.stages.count_stats import count_stats
+
+    bench_dir = synth.ensure_profile(synth.BENCH)
+    seq_path = f"{bench_dir}/sequences"
+    attr_path = f"{bench_dir}/doc_attrs.parquet"
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(seq_path).count()
+
+    n_rows = synth.BENCH.n_rows
+    # total token count (cheap metadata-level aggregate)
+    n_tokens = int(
+        rd.read_parquet(seq_path, columns=["n_tok"]).sum("n_tok")
+    )
+
+    t0 = time.perf_counter()
+    feats = pit_features(
+        rd.read_parquet(seq_path),
+        rd.read_parquet(attr_path),
+        n_buckets=max(64, num_cpus * 4),
+    )
+    out_rows = feats.count()
+    t_pit = time.perf_counter() - t0
+    assert out_rows == n_rows, (out_rows, n_rows)
+
+    t0 = time.perf_counter()
+    stats_rows = count_stats(rd.read_parquet(seq_path)).count()
+    t_stats = time.perf_counter() - t0
+
+    headline = t_pit + t_stats
+
+    # per-query timings over the sf dir (the driver-facing operator suite)
+    from modlyn_ray.pipelines.queries import QUERIES
+
+    bench_queries = [
+        "q01_pricing_summary",
+        "q05_distinct_parts",
+        "q10_lag_lead",
+        "q11_sessionize",
+        "q13_asof_join",
+        "q20_word_stats",
+        "q22_exact_dedup",
+        "q30_ann_topk",
+        "q40_count_stats",
+    ]
+    qtimes: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "end-to-end feature-vector throughput (pit_features + count_stats over "
+        f"{n_rows} synthetic tokenized sequences) + operator suite over {sf_dir}",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "num_cpus": num_cpus,
+        "pit_sec": round(t_pit, 3),
+        "count_stats_sec": round(t_stats, 3),
+        "sequences_per_sec": round(n_rows / headline, 1),
+        "tokens_per_sec": round(n_tokens / headline, 1),
+        "n_tokens": n_tokens,
+        "stats_rows": stats_rows,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """North-rule two-cluster-size evidence: same job, fresh processes at
+    8 and 32 CPUs (N and 4N), same input; efficiency = T8 / (4 * T32)."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r8 = one(8)
+    r32 = one(32)
+    eff = (r8["value"] / r32["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (throughput at 4N CPUs / 4x throughput at N CPUs)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r8["value"],
+        "sec_32": r32["value"],
+        "seq_per_sec_8": r8["sequences_per_sec"],
+        "seq_per_sec_32": r32["sequences_per_sec"],
+        "tok_per_sec_8": r8["tokens_per_sec"],
+        "tok_per_sec_32": r32["tokens_per_sec"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmark()))

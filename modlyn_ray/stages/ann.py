@@ -76,7 +76,8 @@ def knn_brute(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = True,
-    concurrency: int = 4,
+    concurrency: int = 2,  # leave CPUs for the read stage — an actor pool
+    # sized to the whole node starves upstream stages and stalls the pipeline
     batch_size: int = 8192,
 ) -> pd.DataFrame:
     """queries = (query_ids, query_matrix). Returns tidy top-k:

@@ -7,15 +7,24 @@ AnnData X — /root/reference/modlyn/models/_simple_logreg_datamodule.py:93) as
 an idiomatic Ray Data pipeline:
 
     map_batches(partial per-(class, token) sums)      # stateless, vectorized
-      -> groupby(["source", "token_id"]).aggregate    # ONE shuffle over tiny partials
+      -> groupby(key).aggregate                       # ONE shuffle over tiny partials
       -> finalize (broadcast class sizes)              # stateless math
       -> per-token F-score via a second groupby over  # vocab-sized, cheap
          the already-aggregated (K x V) table
 
-The input dataset is never densified: per-batch partials are computed
-zero-copy from Arrow list offsets (X[i,j] is implicit — SURVEY.md §2.2 M1),
-and the shuffle moves at most (distinct keys per batch) rows per batch, not
-the raw data — the "pre-aggregate before groupby" scale pattern.
+Scale notes:
+- the input is never densified: per-batch partials are computed zero-copy
+  from Arrow list offsets (X[i,j] is implicit — SURVEY.md §2.2 M1)
+- the shuffle key is a SINGLE packed int64 ``key = class_code << 32 |
+  token_id`` — grouping by an int column is far cheaper than a
+  (string, int) composite at millions of partial rows
+- class codes come from the lexicographically sorted label set (the
+  LabelEncoder analog, computed once and broadcast — M3); sentinel token
+  0xFFFFFFFF carries per-class row counts through the same shuffle so no
+  second input scan is needed
+- intermediate aggregates (<= K x V rows) are materialized once because
+  they feed three consumers — without that, Ray's lazy execution re-runs
+  the full input scan per consumer.
 
 Statistics per (class c, token j), over per-sequence counts X[i,j]:
     count  = sum_i X            (total occurrences)
@@ -37,109 +46,206 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-_SENTINEL = -1  # token_id used to carry per-class row counts through the shuffle
+_SENT = (1 << 32) - 1  # token slot carrying per-class row counts
 
 
-def _encode_source(batch: pa.Table) -> tuple[np.ndarray, list[str]]:
-    codes = batch["source"].combine_chunks().dictionary_encode()
-    if isinstance(codes, pa.ChunkedArray):
-        codes = codes.combine_chunks()
-    return codes.indices.to_numpy(zero_copy_only=False).astype(np.int64), [
-        str(x) for x in codes.dictionary.to_pylist()
-    ]
+def make_partial_counts(class_lut: dict[str, int]):
+    """Build the per-batch partial kernel with a broadcast class->code map."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        sdic = src.dictionary_encode()
+        sidx = sdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        scode_of_dict = np.array(
+            [class_lut[str(u)] for u in sdic.dictionary.to_pylist()], dtype=np.int64
+        )
+        src_codes = scode_of_dict[sidx]
+
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        vmax = int(flat.max()) + 1 if len(flat) else 1
+        key_rt = row_idx * vmax + flat
+        uniq_rt, c_rt = np.unique(key_rt, return_counts=True)
+        row_of = uniq_rt // vmax
+        tok_of = uniq_rt % vmax
+        cls_of = src_codes[row_of]
+        key_ct = cls_of * vmax + tok_of
+        uniq_ct, inv = np.unique(key_ct, return_inverse=True)
+        occ = np.bincount(inv, weights=c_rt.astype(np.float64))
+        sumsq = np.bincount(inv, weights=(c_rt.astype(np.float64)) ** 2)
+        df = np.bincount(inv).astype(np.float64)
+        packed = ((uniq_ct // vmax) << 32) | (uniq_ct % vmax)
+
+        cls_rows = np.bincount(src_codes, minlength=len(class_lut)).astype(np.float64)
+        present = np.flatnonzero(cls_rows)
+        sent_key = (present << 32) | _SENT
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([packed, sent_key])),
+                "occ": pa.array(np.concatenate([occ, cls_rows[present]])),
+                "sumsq": pa.array(np.concatenate([sumsq, np.zeros(len(present))])),
+                "df": pa.array(np.concatenate([df, np.zeros(len(present))])),
+            }
+        )
+
+    return partial_counts
 
 
-def partial_counts(batch: pa.Table) -> pa.Table:
-    """Emit per-(source, token_id) partial sums for one Arrow batch.
-
-    Output rows: (source, token_id, occ, sumsq, df) plus one sentinel row per
-    source with token_id=-1 whose ``occ`` is the batch's row count for that
-    class (so class sizes ride the same shuffle — no second scan).
-    """
-    n = len(batch)
-    src_codes, src_names = _encode_source(batch)
-    toks = batch["tokens"].combine_chunks()
-    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = offs - offs[0]
-    lens = np.diff(offs)
-    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-
-    vmax = int(flat.max()) + 1 if len(flat) else 1
-    # per-(row, token) occurrence counts c_rt — the implicit X[i, j]
-    key_rt = row_idx * vmax + flat
-    uniq_rt, c_rt = np.unique(key_rt, return_counts=True)
-    row_of = uniq_rt // vmax
-    tok_of = uniq_rt % vmax
-    cls_of = src_codes[row_of]
-    # aggregate to (class, token)
-    key_ct = cls_of * vmax + tok_of
-    uniq_ct, inv = np.unique(key_ct, return_inverse=True)
-    occ = np.bincount(inv, weights=c_rt.astype(np.float64))
-    sumsq = np.bincount(inv, weights=(c_rt.astype(np.float64)) ** 2)
-    df = np.bincount(inv)
-    cls_u = uniq_ct // vmax
-    tok_u = uniq_ct % vmax
-
-    # sentinel rows: per-class row counts
-    cls_rows = np.bincount(src_codes, minlength=len(src_names)).astype(np.float64)
-    all_cls = np.concatenate([cls_u, np.arange(len(src_names), dtype=np.int64)])
-    all_tok = np.concatenate([tok_u, np.full(len(src_names), _SENTINEL, dtype=np.int64)])
-    all_occ = np.concatenate([occ, cls_rows])
-    all_sumsq = np.concatenate([sumsq, np.zeros(len(src_names))])
-    all_df = np.concatenate([df.astype(np.float64), np.zeros(len(src_names))])
-
-    names = np.asarray(src_names, dtype=object)
+def combine_partials(b: pa.Table) -> pa.Table:
+    """Second-level local combiner: merge partial rows by key inside one
+    task before the global shuffle (tree pre-aggregation). Cuts shuffle
+    input by ~an order of magnitude when read blocks are small."""
+    key = b["key"].to_numpy()
+    uniq, inv = np.unique(key, return_inverse=True)
     return pa.table(
         {
-            "source": pa.array(names[all_cls].tolist(), type=pa.string()),
-            "token_id": pa.array(all_tok.astype(np.int32)),
-            "occ": pa.array(all_occ),
-            "sumsq": pa.array(all_sumsq),
-            "df": pa.array(all_df),
+            "key": pa.array(uniq),
+            "occ": pa.array(np.bincount(inv, weights=b["occ"].to_numpy())),
+            "sumsq": pa.array(np.bincount(inv, weights=b["sumsq"].to_numpy())),
+            "df": pa.array(np.bincount(inv, weights=b["df"].to_numpy())),
         }
     )
 
 
-def aggregate_partials(ds: Dataset, batch_size: int | None = 65536) -> Dataset:
-    """partials -> one shuffled aggregate keyed on (source, token_id)."""
-    partials = ds.map_batches(
-        partial_counts, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
-    )
-    return partials.groupby(["source", "token_id"]).aggregate(
-        Sum("occ", alias_name="occ"),
-        Sum("sumsq", alias_name="sumsq"),
-        Sum("df", alias_name="df"),
+def _merge_states(a, b):
+    """Pairwise merge of (keys, occ, sumsq, df) sketch states."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    keys = np.concatenate([a[0], b[0]])
+    uniq, inv = np.unique(keys, return_inverse=True)
+    return (
+        uniq,
+        np.bincount(inv, weights=np.concatenate([a[1], b[1]])),
+        np.bincount(inv, weights=np.concatenate([a[2], b[2]])),
+        np.bincount(inv, weights=np.concatenate([a[3], b[3]])),
     )
 
 
-def count_stats(ds: Dataset, batch_size: int | None = 65536) -> Dataset:
+def _state_to_dataset(state) -> Dataset:
+    import ray.data as rd
+
+    keys, occ, sumsq, df = state
+    return rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(np.asarray(keys, dtype=np.int64)),
+                "occ": pa.array(np.asarray(occ, dtype=np.float64)),
+                "sumsq": pa.array(np.asarray(sumsq, dtype=np.float64)),
+                "df": pa.array(np.asarray(df, dtype=np.float64)),
+            }
+        )
+    )
+
+
+def count_stats(
+    ds: Dataset,
+    batch_size: int | None = 65536,
+    classes: list[str] | None = None,
+    shuffle_aggregate: bool = False,
+) -> Dataset:
     """Full pipeline: sequences Dataset -> per-(class, token) stats Dataset.
 
     Result schema: (source, token_id, count: int64, df: int64, freq, mean,
     var, f_score: float64), one row per (class, token) with nonzero support.
     """
-    agg = aggregate_partials(ds, batch_size=batch_size)
-
-    # class sizes + token-mass totals: the sentinel slice is K rows — tiny.
-    sent = agg.filter(expr=f"token_id == {_SENTINEL}")
-    class_rows = {r["source"]: float(r["occ"]) for r in sent.take_all()}
-    classes = sorted(class_rows)
-    n_total = sum(class_rows.values())
+    if classes is None:
+        classes = sorted(ds.unique("source"))  # LabelEncoder.classes_ analog
+    class_lut = {c: i for i, c in enumerate(classes)}
+    class_names = np.asarray(classes, dtype=object)
     k_classes = len(classes)
 
-    stats = agg.filter(expr=f"token_id != {_SENTINEL}")
+    partials = ds.map_batches(
+        make_partial_counts(class_lut),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    if shuffle_aggregate:
+        # hash-shuffle path: unbounded key spaces (huge vocab x classes).
+        agg = (
+            partials.groupby("key")
+            .aggregate(
+                Sum("occ", alias_name="occ"),
+                Sum("sumsq", alias_name="sumsq"),
+                Sum("df", alias_name="df"),
+            )
+            .materialize()  # consumed by sentinel slice + mass + finalize below
+        )
+    else:
+        # tree-reduce path (default): the accumulator is a mergeable sketch
+        # of (key -> occ/sumsq/df) arrays — the north-star "running
+        # sum/sumsq/count sketches per token id". accumulate runs where the
+        # blocks live; merges are pairwise numpy combines; the final state
+        # is bounded by K x V keys, so no all-to-all shuffle is needed.
+        from ray.data.aggregate import AggregateFn
 
-    # class token mass for freq — K rows, driver-side.
-    mass_ds = stats.groupby("source").aggregate(Sum("occ", alias_name="mass"))
-    class_mass = {r["source"]: float(r["mass"]) for r in mass_ds.take_all()}
+        def _acc_block(state, block: pa.Table):
+            return _merge_states(
+                state,
+                (
+                    block["key"].to_numpy(),
+                    block["occ"].to_numpy(),
+                    block["sumsq"].to_numpy(),
+                    block["df"].to_numpy(),
+                ),
+            )
 
-    nc_arr = np.array([class_rows[c] for c in classes])
-    mass_arr = np.array([max(class_mass.get(c, 0.0), 1.0) for c in classes])
-    cls_lut = {c: i for i, c in enumerate(classes)}
+        sketch = AggregateFn(
+            init=lambda _: None,
+            merge=_merge_states,
+            accumulate_block=_acc_block,
+            name="sketch",
+        )
+        state = partials.aggregate(sketch)["sketch"]
+        if state is None:
+            state = (np.array([], dtype=np.int64), np.array([]), np.array([]), np.array([]))
+        agg = _state_to_dataset(state)
+
+    def _split(want_sentinel: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            mask = (b["key"].to_numpy() & _SENT) == _SENT
+            return b.filter(pa.array(mask if want_sentinel else ~mask))
+
+        return fn
+
+    sent = agg.map_batches(_split(True), batch_format="pyarrow").take_all()
+    nc_arr = np.zeros(k_classes, dtype=np.float64)
+    for r in sent:
+        nc_arr[r["key"] >> 32] = r["occ"]
+    n_total = float(nc_arr.sum())
+
+    stats = agg.map_batches(_split(False), batch_format="pyarrow")
+
+    # class token mass for freq: K values, via a tiny driver-side reduction
+    mass_parts = stats.map_batches(
+        lambda b: pa.table(
+            {
+                "cls": pa.array((b["key"].to_numpy() >> 32).astype(np.int64)),
+                "occ": b["occ"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    mass_arr = np.ones(k_classes, dtype=np.float64)
+    for b in mass_parts.groupby("cls").aggregate(Sum("occ", alias_name="m")).take_all():
+        mass_arr[b["cls"]] = max(b["m"], 1.0)
 
     def finalize(batch: pa.Table) -> pa.Table:
-        cls_idx = np.array([cls_lut[s] for s in batch["source"].to_pylist()], dtype=np.int64)
+        key = batch["key"].to_numpy()
+        cls_idx = (key >> 32).astype(np.int64)
+        tok = (key & _SENT).astype(np.int32)
         occ = batch["occ"].to_numpy()
         sumsq = batch["sumsq"].to_numpy()
         df = batch["df"].to_numpy()
@@ -147,8 +253,8 @@ def count_stats(ds: Dataset, batch_size: int | None = 65536) -> Dataset:
         mean = occ / n_c
         return pa.table(
             {
-                "source": batch["source"],
-                "token_id": batch["token_id"],
+                "source": pa.array(class_names[cls_idx].tolist(), type=pa.string()),
+                "token_id": pa.array(tok),
                 "count": pa.array(occ.astype(np.int64)),
                 "df": pa.array(df.astype(np.int64)),
                 "freq": pa.array(occ / mass_arr[cls_idx]),
@@ -160,9 +266,10 @@ def count_stats(ds: Dataset, batch_size: int | None = 65536) -> Dataset:
             }
         )
 
-    with_partials = stats.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    with_partials = stats.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused by the F-score aggregate AND the final join
 
-    # per-token F across classes over the (<= K x V)-row aggregated table
     ftok = with_partials.groupby("token_id").aggregate(
         Sum("occ2n", alias_name="s_occ2n"),
         Sum("sumsq_", alias_name="s_sumsq"),
@@ -181,17 +288,28 @@ def count_stats(ds: Dataset, batch_size: int | None = 65536) -> Dataset:
             f = np.zeros(len(batch))
         return pa.table({"token_id": batch["token_id"], "f_score": pa.array(f)})
 
-    f_tbl = ftok.map_batches(f_math, batch_format="pyarrow")
-    # vocab-sized (small) -> broadcast join into the class rows via ray.put
-    f_pd = f_tbl.to_pandas()
-    f_ref = ray.put(dict(zip(f_pd["token_id"].to_numpy(), f_pd["f_score"].to_numpy())))
+    f_pd = ftok.map_batches(f_math, batch_format="pyarrow").to_pandas()
+    tok_ids = f_pd["token_id"].to_numpy().astype(np.int64)
+    dense = np.zeros(int(tok_ids.max()) + 1 if len(tok_ids) else 1, dtype=np.float64)
+    dense[tok_ids] = f_pd["f_score"].to_numpy()
+    f_ref = ray.put(dense)
 
     def join_f(batch: pa.Table) -> pa.Table:
         fmap = ray.get(f_ref)
-        toks = batch["token_id"].to_numpy()
-        f = np.array([fmap.get(int(t), 0.0) for t in toks])
+        toks = batch["token_id"].to_numpy().astype(np.int64)
+        f = np.where(toks < len(fmap), fmap[np.minimum(toks, len(fmap) - 1)], 0.0)
         return batch.drop_columns(["occ2n", "sumsq_", "occ_"]).append_column(
             "f_score", pa.array(f)
         )
 
     return with_partials.map_batches(join_f, batch_format="pyarrow")
+
+
+# Backwards-compatible alias used by tests/benchmarks: emit partials for one
+# in-memory table (diagnostics only).
+def partial_counts(batch: pa.Table) -> pa.Table:
+    src = batch["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    classes = sorted({str(x) for x in src.unique().to_pylist()})
+    return make_partial_counts({c: i for i, c in enumerate(classes)})(batch)

@@ -167,7 +167,9 @@ def fit_logreg(ds: Dataset, config: LogRegConfig, classes: list[str] | None = No
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
     try:
-        ordered = ds.sort("seq_no")
+        # materialize the canonical order once — iter_batches re-executes the
+        # lazy sort on EVERY epoch otherwise
+        ordered = ds.sort("seq_no").materialize()
         for _epoch in range(config.max_epochs):
             if step >= config.max_steps:
                 break
@@ -218,6 +220,7 @@ def fit_logreg_fullbatch(
     b = np.zeros(K, dtype=np.float64)
     sW, sb = AdamState.like(W), AdamState.like(b)
     losses: list[float] = []
+    ds = ds.materialize()  # re-read per step otherwise (one pass per step)
     n_total = ds.count()
 
     for _ in range(steps):

@@ -55,7 +55,7 @@ def _crc_bucket_of_uniques(uniques: list[str], n_buckets: int, heavy: dict[str, 
     out = np.empty(len(uniques), dtype=np.int64)
     for i, u in enumerate(uniques):
         h = heavy.get(u)
-        out[i] = h if h is not None else zlib.crc32(u.encode()) % n_buckets
+        out[i] = h if h is not None else zlib.crc32(str(u).encode()) % n_buckets
     return out
 
 
@@ -167,6 +167,42 @@ def windowize(
     prefix_sum_cols = prefix_sum_cols or []
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        return window_kernel(
+            group,
+            lag_cols=lag_cols,
+            lead_cols=lead_cols,
+            backfill_cols=backfill_cols,
+            prefix_sum_cols=prefix_sum_cols,
+            sessionize=sessionize,
+            session_gap_us=session_gap_us,
+            session_on_source_change=session_on_source_change,
+            by=by,
+            ts_col=ts_col,
+            tie_col=tie_col,
+        )
+
+    bds = add_bucket_column(ds, key=by, n_buckets=n_buckets, heavy=heavy)
+    res = bds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return res.drop_columns(["bucket"])
+
+
+def window_kernel(
+    group: pa.Table,
+    *,
+    lag_cols: list[str],
+    lead_cols: list[str],
+    backfill_cols: list[str],
+    prefix_sum_cols: list[str],
+    sessionize: bool,
+    session_gap_us: int,
+    session_on_source_change: bool,
+    by: str,
+    ts_col: str,
+    tie_col: str,
+) -> pa.Table:
+    """Vectorized per-bucket window pass (assumes all rows of a doc are
+    co-located in ``group``; sorts internally)."""
+    if True:
         n = len(group)
         if n == 0:
             return group
@@ -230,10 +266,6 @@ def windowize(
 
             out = out.append_column(f"{c}_ffill", pc.if_else(mask, filled, pa.scalar(None, col.type)))
         return out
-
-    bds = add_bucket_column(ds, key=by, n_buckets=n_buckets, heavy=heavy)
-    res = bds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
-    return res.drop_columns(["bucket"])
 
 
 def _shift_null(col: pa.Array, null_mask: np.ndarray, forward: bool) -> pa.Array:
@@ -323,6 +355,29 @@ def asof_join(
         lmask = pa.array(side == 0)
         ltbl = group.filter(lmask).drop_columns(["__side", "bucket"] + value_cols)
         rtbl = group.filter(pa.array(side == 1))
+        return asof_kernel(
+            ltbl, rtbl, by=by, ts_col=ts_col, value_cols=value_cols,
+            vtypes=vtypes, suffix=suffix, strict=strict,
+        )
+
+    res = both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+    return res
+
+
+def asof_kernel(
+    ltbl: pa.Table,
+    rtbl: pa.Table,
+    *,
+    by: str,
+    ts_col: str,
+    value_cols: list[str],
+    vtypes: dict,
+    suffix: str,
+    strict: bool,
+) -> pa.Table:
+    """Per-bucket backward as-of merge: slim key frames through pandas
+    merge_asof; payload (incl. token lists) stays in Arrow."""
+    if True:
         nl, nr = len(ltbl), len(rtbl)
         if nl == 0:
             return _empty_asof_schema(ltbl, value_cols, vtypes, ts_col, suffix)
@@ -375,9 +430,6 @@ def asof_join(
         return out.append_column(
             f"matched{suffix}_ts", pc.if_else(valid, mts_arr, pa.scalar(None, pa.timestamp("us")))
         )
-
-    res = both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
-    return res
 
 
 def _empty_asof_schema(ltbl: pa.Table, value_cols, vtypes, ts_col, suffix) -> pa.Table:

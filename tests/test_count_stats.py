@@ -24,7 +24,7 @@ def _run_parity(profile):
     assert len(got) == len(want), (len(got), len(want))
     got = got[want.columns]
     pd.testing.assert_frame_equal(
-        got.astype({"count": "int64", "df": "int64"}),
+        got.astype({"count": "int64", "df": "int64", "token_id": "int64"}),
         want,
         check_exact=False,
         rtol=1e-9,
