@@ -75,8 +75,25 @@ def run_benchmark() -> dict:
 
     headline = t_pit + t_stats
 
-    # per-query timings over the sf dir (the driver-facing operator suite)
+    # per-query timings over the sf dir (the driver-facing operator suite);
+    # GRAFT_SKIP_QUERIES=1 measures the headline alone (scaling calibration)
     from modlyn_ray.pipelines.queries import QUERIES
+
+    if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
+        result = {
+            "metric": "feature-vector throughput (headline only)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": sf_dir.rstrip("/").split("/")[-1],
+            "num_cpus": num_cpus,
+            "pit_sec": round(t_pit, 3),
+            "count_stats_sec": round(t_stats, 3),
+            "sequences_per_sec": round(n_rows / headline, 1),
+            "tokens_per_sec": round(n_tokens / headline, 1),
+        }
+        ray.shutdown()
+        return result
 
     bench_queries = [
         "q01_pricing_summary",
@@ -116,9 +133,33 @@ def run_benchmark() -> dict:
     return result
 
 
+def _burn(_):
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return x
+
+
+def _hw_throughput(procs: int) -> float:
+    """Pure CPU-bound multiprocessing throughput (tasks/sec) — calibrates
+    what THIS box can physically deliver at a given parallelism (the
+    sandbox is a virtualized SMT host; 4x processes != 4x throughput)."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(_burn, range(procs))
+    return procs / (_t.perf_counter() - t0)
+
+
 def run_scaling() -> dict:
     """North-rule two-cluster-size evidence: same job, fresh processes at
-    8 and 32 CPUs (N and 4N), same input; efficiency = T8 / (4 * T32)."""
+    8 and 32 CPUs (N and 4N), same input; efficiency = T8 / (4 * T32).
+    Also reports the hardware's own 8->32 scaling (burn-test calibration)
+    and the hardware-normalized efficiency, since a single virtualized SMT
+    box cannot deliver 4x compute at 4x workers the way 4x cluster NODES
+    do."""
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -135,6 +176,10 @@ def run_scaling() -> dict:
     r8 = one(8)
     r32 = one(32)
     eff = (r8["value"] / r32["value"]) / (32 / 8)
+    hw8 = _hw_throughput(8)
+    hw32 = _hw_throughput(32)
+    hw_scaling = hw32 / hw8  # ideal would be 4.0 on real 4x hardware
+    pipeline_speedup = r8["value"] / r32["value"]
     return {
         "metric": "scaling efficiency (throughput at 4N CPUs / 4x throughput at N CPUs)",
         "value": round(eff, 3),
@@ -145,6 +190,11 @@ def run_scaling() -> dict:
         "seq_per_sec_32": r32["sequences_per_sec"],
         "tok_per_sec_8": r8["tokens_per_sec"],
         "tok_per_sec_32": r32["tokens_per_sec"],
+        "hw_burn_scaling_8_to_32": round(hw_scaling, 3),
+        "hw_normalized_efficiency": round(pipeline_speedup / hw_scaling, 3),
+        "note": "single virtualized SMT box: burn-test shows the hardware itself "
+        "delivers only ~hw_burn_scaling_8_to_32 x throughput at 4x processes; "
+        "see BASELINE.md for the calibration discussion",
     }
 
 

@@ -521,6 +521,18 @@ def q40_count_stats(sf_dir: str) -> pd.DataFrame:
 # through the engine's own id map. Rows-only fallback: see oracle_sql().
 
 
+def q41_wilcoxon(sf_dir: str) -> pd.DataFrame:
+    """Wilcoxon rank-sum z-scores per (class, token) over the synthetic
+    sequences table — the scanpy rank_genes_groups(method='wilcoxon')
+    analog (A8). Rank statistics over implicit count vectors are not
+    ANSI-SQL-expressible at reasonable cost -> rows-only; numeric parity is
+    enforced by tests/test_rank_stats.py against a dense rank oracle."""
+    from modlyn_ray.stages.rank_stats import wilcoxon_scores
+
+    d = _synth_small()
+    return wilcoxon_scores(rd.read_parquet(f"{d}/sequences")).to_pandas()
+
+
 def q50_logreg_weights(sf_dir: str) -> pd.DataFrame:
     """SimpleLogReg-equivalent tall weights over the deterministic synthetic
     sequences table (golden-path trainer). Non-SQL-expressible (iterative
@@ -603,6 +615,7 @@ QUERIES = {
     "q30_ann_topk": q30_ann_topk,
     "q31_embedding_dedup": q31_embedding_dedup,
     "q40_count_stats": q40_count_stats,
+    "q41_wilcoxon": q41_wilcoxon,
     "q50_logreg_weights": q50_logreg_weights,
     "q51_jaccard_eval": q51_jaccard_eval,
     "q52_pit_features": q52_pit_features,

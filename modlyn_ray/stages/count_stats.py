@@ -133,6 +133,44 @@ def _merge_states(a, b):
     )
 
 
+@ray.remote
+def _merge_block_refs(*tables: pa.Table):
+    """Merge a fan-in of partial tables (or prior merged states) into one
+    combined (keys, occ, sumsq, df) state tuple."""
+    state = None
+    for t in tables:
+        if t is None:
+            continue
+        if isinstance(t, tuple):
+            s = t
+        else:
+            s = (
+                t["key"].to_numpy(),
+                t["occ"].to_numpy(),
+                t["sumsq"].to_numpy(),
+                t["df"].to_numpy(),
+            )
+        state = _merge_states(state, s)
+    return state
+
+
+def tree_reduce_partials(partials: Dataset, fan_in: int = 8):
+    """Distributed fan-in tree reduce over the partial blocks (parallel
+    merges, log depth) — replaces Ray Data's serial ungrouped aggregate."""
+    refs = list(partials.to_arrow_refs())
+    if not refs:
+        return (np.array([], dtype=np.int64), np.array([]), np.array([]), np.array([]))
+    while len(refs) > 1:
+        refs = [
+            _merge_block_refs.remote(*refs[i : i + fan_in])
+            for i in range(0, len(refs), fan_in)
+        ]
+    state = ray.get(refs[0])
+    if state is None:
+        return (np.array([], dtype=np.int64), np.array([]), np.array([]), np.array([]))
+    return state
+
+
 def _state_to_dataset(state) -> Dataset:
     import ray.data as rd
 
@@ -186,31 +224,12 @@ def count_stats(
     else:
         # tree-reduce path (default): the accumulator is a mergeable sketch
         # of (key -> occ/sumsq/df) arrays — the north-star "running
-        # sum/sumsq/count sketches per token id". accumulate runs where the
-        # blocks live; merges are pairwise numpy combines; the final state
-        # is bounded by K x V keys, so no all-to-all shuffle is needed.
-        from ray.data.aggregate import AggregateFn
-
-        def _acc_block(state, block: pa.Table):
-            return _merge_states(
-                state,
-                (
-                    block["key"].to_numpy(),
-                    block["occ"].to_numpy(),
-                    block["sumsq"].to_numpy(),
-                    block["df"].to_numpy(),
-                ),
-            )
-
-        sketch = AggregateFn(
-            init=lambda _: None,
-            merge=_merge_states,
-            accumulate_block=_acc_block,
-            name="sketch",
-        )
-        state = partials.aggregate(sketch)["sketch"]
-        if state is None:
-            state = (np.array([], dtype=np.int64), np.array([]), np.array([]), np.array([]))
+        # sum/sumsq/count sketches per token id". Partial blocks are merged
+        # by PARALLEL ray tasks in a fan-in tree (Ray Data's ungrouped
+        # aggregate folds all blocks in a single task — serial — so we run
+        # the tree explicitly over the block refs). Final state is bounded
+        # by K x V keys; no all-to-all shuffle.
+        state = tree_reduce_partials(partials)
         agg = _state_to_dataset(state)
 
     def _split(want_sentinel: bool):

@@ -106,6 +106,9 @@ def featurize_media(
     concurrency: int = 2,
     batch_size: int = 256,
 ) -> Dataset:
+    from modlyn_ray.util import pool_size
+
+    concurrency = pool_size(concurrency)
     return ds.map_batches(
         MediaFeaturizer,
         fn_constructor_kwargs={"feature_dim": feature_dim, "decode": decode},

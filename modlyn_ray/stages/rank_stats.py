@@ -1,0 +1,182 @@
+"""Wilcoxon rank-sum (Mann-Whitney U) scores per (class, token) — the
+scanpy ``rank_genes_groups(method="wilcoxon")`` analog the reference
+compares against (/root/reference/docs/quickstart.ipynb:322-329;
+SURVEY §2.5 A8).
+
+Distributed trick: per-sequence token counts are small integers, so ranks
+over the whole corpus are computable from VALUE HISTOGRAMS — no global
+sort. Per batch we emit (class, token, value) -> #sequences partials
+(packed into one int64 key), tree-reduce them like count_stats, then turn
+histograms into average ranks:
+
+    avg_rank(v) = (#values < v) + (ties_v + 1) / 2
+    rank_sum(c) = sum_v n_{c,v} * avg_rank(v)     (including v = 0!)
+    z = (rank_sum - n_c (N+1)/2) / sqrt(n_c (N - n_c) (N+1) / 12)
+
+(one-vs-rest per class; zeros from absent sequences are counted via class
+sizes). ``tie_correct=True`` applies the standard tie correction to sigma
+(scanpy's default is no correction).
+
+Key packing: class < 2^15, token < 2^31, value < 2^16 (longer counts are
+clamped into the top bin — at that point rank differences are negligible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+_VBITS = 16
+_TBITS = 31
+_VMASK = (1 << _VBITS) - 1
+
+
+def make_rank_partials(class_lut: dict[str, int]):
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        sdic = src.dictionary_encode()
+        sidx = sdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        scode = np.array(
+            [class_lut[str(u)] for u in sdic.dictionary.to_pylist()], dtype=np.int64
+        )[sidx]
+
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        vmax = int(flat.max()) + 1 if len(flat) else 1
+        key_rt = row_idx * vmax + flat
+        uniq_rt, c_rt = np.unique(key_rt, return_counts=True)
+        row_of = uniq_rt // vmax
+        tok_of = uniq_rt % vmax
+        val = np.minimum(c_rt, _VMASK).astype(np.int64)
+        cls_of = scode[row_of]
+        packed = (cls_of << (_TBITS + _VBITS)) | (tok_of << _VBITS) | val
+        uniq_k, inv = np.unique(packed, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.float64)
+        # sentinel rows: class sizes (token slot all-ones, value 0)
+        cls_rows = np.bincount(scode, minlength=len(class_lut)).astype(np.float64)
+        present = np.flatnonzero(cls_rows)
+        sent = (present << (_TBITS + _VBITS)) | ((np.int64((1 << _TBITS) - 1)) << _VBITS)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([uniq_k, sent])),
+                "occ": pa.array(np.concatenate([cnt, cls_rows[present]])),
+                "sumsq": pa.array(np.zeros(len(uniq_k) + len(present))),
+                "df": pa.array(np.zeros(len(uniq_k) + len(present))),
+            }
+        )
+
+    return partial
+
+
+def wilcoxon_scores(
+    ds: Dataset,
+    classes: list[str] | None = None,
+    batch_size: int | None = 65536,
+    tie_correct: bool = False,
+    method_name: str = "wilcoxon",
+) -> pa.Table:
+    """One-vs-rest Wilcoxon z-score per (class, token) as a tall Arrow table
+    (class, token_id, score, method) — plugs directly into CompareScores
+    (the df.attrs["method_name"] extension surface, SURVEY §2.10 X3)."""
+    from modlyn_ray.stages.count_stats import tree_reduce_partials
+
+    if classes is None:
+        classes = sorted(ds.unique("source"))
+    class_lut = {c: i for i, c in enumerate(classes)}
+    K = len(classes)
+
+    partials = ds.map_batches(
+        make_rank_partials(class_lut),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    state = tree_reduce_partials(partials)
+    if len(state[0]) == 0:
+        return pa.table(
+            {
+                "class": pa.array([], type=pa.string()),
+                "token_id": pa.array([], type=pa.int32()),
+                "score": pa.array([], type=pa.float64()),
+                "method": pa.array([], type=pa.string()),
+            }
+        )
+    keys, occ, _, _ = state
+    keys = np.asarray(keys, dtype=np.int64)
+    occ = np.asarray(occ, dtype=np.float64)
+
+    cls = keys >> (_TBITS + _VBITS)
+    tok = (keys >> _VBITS) & ((1 << _TBITS) - 1)
+    val = keys & _VMASK
+
+    sent_mask = tok == ((1 << _TBITS) - 1)
+    n_c = np.zeros(K)
+    n_c[cls[sent_mask]] = occ[sent_mask]
+    N = n_c.sum()
+
+    cls, tok, val, occ = cls[~sent_mask], tok[~sent_mask], val[~sent_mask], occ[~sent_mask]
+
+    # per token: histograms over (value, class). sort by (token, value)
+    order = np.lexsort((val, tok))
+    cls, tok, val, occ = cls[order], tok[order], val[order], occ[order]
+    tokens_u, tok_start = np.unique(tok, return_index=True)
+    tok_end = np.r_[tok_start[1:], len(tok)]
+
+    out_cls, out_tok, out_z = [], [], []
+    mu = n_c * (N + 1) / 2.0
+    base_sigma2 = n_c * (N - n_c) * (N + 1) / 12.0
+    for j, (s, e) in enumerate(zip(tok_start, tok_end)):
+        vj = val[s:e]
+        cj = cls[s:e]
+        oj = occ[s:e]
+        # collapse to per-value totals (classes share value bins)
+        v_u, v_inv = np.unique(vj, return_inverse=True)
+        t_v = np.bincount(v_inv, weights=oj)  # ties per nonzero value
+        nz_total = t_v.sum()
+        zeros = N - nz_total  # sequences with value 0
+        # average ranks: zeros first, then ascending values
+        below = np.r_[0.0, np.cumsum(t_v)][:-1] + zeros
+        avg_rank_v = below + (t_v + 1) / 2.0
+        avg_rank_zero = (zeros + 1) / 2.0
+        # per-class rank sums
+        rs = np.zeros(K)
+        np.add.at(rs, cj, oj * avg_rank_v[v_inv])
+        zero_per_class = n_c - np.bincount(cj, weights=oj, minlength=K)
+        rs += zero_per_class * avg_rank_zero
+        sigma2 = base_sigma2.copy()
+        if tie_correct and N > 1:
+            ties = np.r_[t_v, zeros]
+            corr = 1.0 - (ties**3 - ties).sum() / (N**3 - N)
+            sigma2 = sigma2 * corr
+        z = np.divide(
+            rs - mu, np.sqrt(np.maximum(sigma2, 1e-300)),
+            out=np.zeros(K), where=sigma2 > 0,
+        )
+        out_cls.append(np.arange(K))
+        out_tok.append(np.full(K, tokens_u[j]))
+        out_z.append(z)
+
+    cls_a = np.concatenate(out_cls) if out_cls else np.array([], dtype=np.int64)
+    tok_a = np.concatenate(out_tok) if out_tok else np.array([], dtype=np.int64)
+    z_a = np.concatenate(out_z) if out_z else np.array([])
+    names = np.asarray(classes, dtype=object)
+    return pa.table(
+        {
+            "class": pa.array(names[cls_a.astype(np.int64)].tolist(), type=pa.string()),
+            "token_id": pa.array(tok_a.astype(np.int32)),
+            "score": pa.array(z_a),
+            "method": pa.array([method_name] * len(z_a)),
+        }
+    )

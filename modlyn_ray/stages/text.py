@@ -219,6 +219,9 @@ class LangId:
 
 
 def lang_id(ds: Dataset, concurrency: int = 2, batch_size: int = 4096) -> Dataset:
+    from modlyn_ray.util import pool_size
+
+    concurrency = pool_size(concurrency)
     return ds.map_batches(
         LangId,
         batch_format="pyarrow",
