@@ -107,6 +107,11 @@ class LogRegConfig:
     max_epochs: int = 4
     log1p: bool = False
     method_name: str = "modlyn_logreg"
+    # per-epoch sample shuffle (the reference's DaskDataset(shuffle=True),
+    # _simple_logreg_datamodule.py:182 / SURVEY §2.2 M9). False = the
+    # deterministic golden schedule; True = seeded random_shuffle per epoch.
+    shuffle_each_epoch: bool = False
+    shuffle_seed: int = 0
 
 
 @dataclass
@@ -173,6 +178,10 @@ def fit_logreg(ds: Dataset, config: LogRegConfig, classes: list[str] | None = No
         for _epoch in range(config.max_epochs):
             if step >= config.max_steps:
                 break
+            if config.shuffle_each_epoch:
+                ordered = ordered.random_shuffle(
+                    seed=config.shuffle_seed + _epoch
+                ).materialize()
             for batch in ordered.iter_batches(
                 batch_size=config.batch_size, batch_format="pyarrow"
             ):

@@ -78,6 +78,7 @@ def run_stage(
     config: dict | None = None,
     inputs: list[str] | None = None,
     token_checksum: bool = False,
+    partition_cols: list[str] | None = None,
 ) -> Dataset:
     """Execute (or resume) one checkpointed stage.
 
@@ -100,7 +101,12 @@ def run_stage(
 
     t0 = time.perf_counter()
     ds = build()
-    ds.write_parquet(os.path.join(tmp, "data"))
+    if partition_cols:
+        # hive-partitioned layout: one directory per key value — the unit of
+        # per-partition lineage/resume at cluster scale
+        ds.write_parquet(os.path.join(tmp, "data"), partition_cols=partition_cols)
+    else:
+        ds.write_parquet(os.path.join(tmp, "data"))
     wall = time.perf_counter() - t0
 
     files = _collect_file_stats(os.path.join(tmp, "data"))
