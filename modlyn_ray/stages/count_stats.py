@@ -117,19 +117,32 @@ def combine_partials(b: pa.Table) -> pa.Table:
     )
 
 
-def _merge_states(a, b):
-    """Pairwise merge of (keys, occ, sumsq, df) sketch states."""
-    if a is None:
-        return b
-    if b is None:
-        return a
-    keys = np.concatenate([a[0], b[0]])
+def _combine_state(keys, occ, sumsq, df):
+    """Canonicalize a state: sum duplicate keys (a raw partial table may
+    contain the same key several times — one per source batch)."""
     uniq, inv = np.unique(keys, return_inverse=True)
     return (
         uniq,
-        np.bincount(inv, weights=np.concatenate([a[1], b[1]])),
-        np.bincount(inv, weights=np.concatenate([a[2], b[2]])),
-        np.bincount(inv, weights=np.concatenate([a[3], b[3]])),
+        np.bincount(inv, weights=occ),
+        np.bincount(inv, weights=sumsq),
+        np.bincount(inv, weights=df),
+    )
+
+
+def _merge_states(a, b):
+    """Pairwise merge of (keys, occ, sumsq, df) sketch states. Always
+    canonicalizes, so raw (possibly duplicate-keyed) inputs are safe."""
+    if a is None and b is None:
+        return None
+    if a is None:
+        return _combine_state(*b)
+    if b is None:
+        return _combine_state(*a)
+    return _combine_state(
+        np.concatenate([a[0], b[0]]),
+        np.concatenate([a[1], b[1]]),
+        np.concatenate([a[2], b[2]]),
+        np.concatenate([a[3], b[3]]),
     )
 
 
@@ -160,11 +173,14 @@ def tree_reduce_partials(partials: Dataset, fan_in: int = 8):
     refs = list(partials.to_arrow_refs())
     if not refs:
         return (np.array([], dtype=np.int64), np.array([]), np.array([]), np.array([]))
-    while len(refs) > 1:
+    first = True
+    while len(refs) > 1 or first:
         refs = [
             _merge_block_refs.remote(*refs[i : i + fan_in])
             for i in range(0, len(refs), fan_in)
         ]
+        first = False  # always at least one merge pass: a single raw block
+        # may itself contain duplicate keys (one partial row set per batch)
     state = ray.get(refs[0])
     if state is None:
         return (np.array([], dtype=np.int64), np.array([]), np.array([]), np.array([]))
