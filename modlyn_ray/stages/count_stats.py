@@ -203,9 +203,54 @@ def _state_to_dataset(state) -> Dataset:
     )
 
 
+def _finalize_state_numpy(state, class_names: np.ndarray, k_classes: int) -> pa.Table:
+    """Vectorized driver-side finalization of a reduced sketch state:
+    per-(class, token) count/df/freq/mean/var + per-token ANOVA F."""
+    keys, occ, sumsq, df = (np.asarray(x) for x in state)
+    keys = keys.astype(np.int64)
+    sent_mask = (keys & _SENT) == _SENT
+    nc_arr = np.zeros(k_classes, dtype=np.float64)
+    nc_arr[(keys[sent_mask] >> 32)] = occ[sent_mask]
+    n_total = float(nc_arr.sum())
+
+    keys, occ, sumsq, df = keys[~sent_mask], occ[~sent_mask], sumsq[~sent_mask], df[~sent_mask]
+    cls_idx = (keys >> 32).astype(np.int64)
+    tok = (keys & _SENT).astype(np.int64)
+    n_c = nc_arr[cls_idx]
+    mass = np.maximum(np.bincount(cls_idx, weights=occ, minlength=k_classes), 1.0)
+    mean = occ / n_c
+    var = sumsq / n_c - mean**2
+    occ2n = occ**2 / n_c
+
+    # per-token F over classes (dense arrays indexed by token id)
+    vmax = int(tok.max()) + 1 if len(tok) else 1
+    s_occ2n = np.bincount(tok, weights=occ2n, minlength=vmax)
+    s_sumsq = np.bincount(tok, weights=sumsq, minlength=vmax)
+    s_occ = np.bincount(tok, weights=occ, minlength=vmax)
+    if k_classes > 1 and n_total > k_classes:
+        between = (s_occ2n - s_occ**2 / n_total) / (k_classes - 1)
+        within = (s_sumsq - s_occ2n) / (n_total - k_classes)
+        f_tok = np.where(within > 1e-12, between / np.where(within > 1e-12, within, 1.0), 0.0)
+    else:
+        f_tok = np.zeros(vmax)
+
+    return pa.table(
+        {
+            "source": pa.array(class_names[cls_idx].tolist(), type=pa.string()),
+            "token_id": pa.array(tok.astype(np.int32)),
+            "count": pa.array(occ.astype(np.int64)),
+            "df": pa.array(df.astype(np.int64)),
+            "freq": pa.array(occ / mass[cls_idx]),
+            "mean": pa.array(mean),
+            "var": pa.array(var),
+            "f_score": pa.array(f_tok[tok]),
+        }
+    )
+
+
 def count_stats(
     ds: Dataset,
-    batch_size: int | None = 65536,
+    batch_size: int | None = 32768,
     classes: list[str] | None = None,
     shuffle_aggregate: bool = False,
 ) -> Dataset:
@@ -244,9 +289,15 @@ def count_stats(
         # by PARALLEL ray tasks in a fan-in tree (Ray Data's ungrouped
         # aggregate folds all blocks in a single task — serial — so we run
         # the tree explicitly over the block refs). Final state is bounded
-        # by K x V keys; no all-to-all shuffle.
+        # by K x V keys, so the finalization math runs vectorized on the
+        # driver in one shot — spinning five tiny Ray pipelines for a
+        # 262k-row table costs ~10x the math itself in orchestration.
+        import ray.data as rd
+
         state = tree_reduce_partials(partials)
-        agg = _state_to_dataset(state)
+        return rd.from_arrow(
+            _finalize_state_numpy(state, class_names, k_classes)
+        )
 
     def _split(want_sentinel: bool):
         def fn(b: pa.Table) -> pa.Table:

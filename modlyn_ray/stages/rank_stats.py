@@ -83,7 +83,7 @@ def make_rank_partials(class_lut: dict[str, int]):
 def wilcoxon_scores(
     ds: Dataset,
     classes: list[str] | None = None,
-    batch_size: int | None = 65536,
+    batch_size: int | None = 32768,
     tie_correct: bool = False,
     method_name: str = "wilcoxon",
 ) -> pa.Table:
