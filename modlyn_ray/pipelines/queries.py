@@ -204,20 +204,22 @@ def q10_lag_lead(sf_dir: str) -> pd.DataFrame:
         ds,
         lag_cols=["value"],
         lead_cols=["value"],
+        lag_steps=2,
         sessionize=False,
         by="user_id",
         ts_col="ts",
         tie_col="event_id",
         n_buckets=32,
     ).to_pandas()
-    out = out[["event_id", "lag1_value", "lead1_value"]].rename(
-        columns={"lag1_value": "lag_value", "lead1_value": "lead_value"}
+    out = out[["event_id", "lag1_value", "lag2_value", "lead1_value"]].rename(
+        columns={"lag1_value": "lag_value", "lag2_value": "lag2_value", "lead1_value": "lead_value"}
     )
     return out
 
 
 Q10_SQL = """
-SELECT event_id, lag(value) OVER w AS lag_value, lead(value) OVER w AS lead_value
+SELECT event_id, lag(value) OVER w AS lag_value, lag(value, 2) OVER w AS lag2_value,
+       lead(value) OVER w AS lead_value
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
@@ -342,6 +344,34 @@ Q14_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type, hour
+"""
+
+
+def q15_rolling_window(sf_dir: str) -> pd.DataFrame:
+    """Trailing 30-minute time-range aggregate per user (SQL RANGE
+    PRECEDING semantics, equal-ts peers included)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = windowize(
+        ds,
+        rolling_cols=["value"],
+        rolling_window_us=SESSION_GAP_30M_US,
+        sessionize=False,
+        by="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        n_buckets=32,
+    ).to_pandas()
+    out["roll_sum_value"] = _round(out["roll_sum_value"], 6)
+    out["roll_cnt_value"] = out["roll_cnt_value"].astype(np.int64)
+    return out[["event_id", "roll_sum_value", "roll_cnt_value"]]
+
+
+Q15_SQL = """
+SELECT event_id, round(sum(value) OVER w, 6) AS roll_sum_value,
+       count(value) OVER w::BIGINT AS roll_cnt_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
 """
 
 
@@ -607,6 +637,7 @@ QUERIES = {
     "q12_backfill": q12_backfill,
     "q13_asof_join": q13_asof_join,
     "q14_hourly_agg": q14_hourly_agg,
+    "q15_rolling_window": q15_rolling_window,
     "q20_word_stats": q20_word_stats,
     "q21_quality": q21_quality,
     "q22_exact_dedup": q22_exact_dedup,
@@ -632,6 +663,7 @@ ORACLES = {
     "q12_backfill": Q12_SQL,
     "q13_asof_join": Q13_SQL,
     "q14_hourly_agg": Q14_SQL,
+    "q15_rolling_window": Q15_SQL,
     "q20_word_stats": Q20_SQL,
     "q21_quality": Q21_SQL,
     "q22_exact_dedup": Q22_SQL,

@@ -35,31 +35,48 @@ MERSENNE = (1 << 61) - 1
 # exact dedup
 # ---------------------------------------------------------------------------
 def exact_dedup(
-    ds: Dataset, col: str = "text", id_col: str = "doc_id", keep_cols: list[str] | None = None
+    ds: Dataset,
+    col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+    fast_hash: bool = True,
 ) -> Dataset:
     """Keep the min-id row per distinct value of ``col``.
 
-    Adds ``dup_count`` (group size). Hash-partitioned on md5(col): the
-    groupby key is the 128-bit digest, so collisions are cryptographically
-    negligible and the shuffle never carries the full payload twice.
+    Adds ``dup_count`` (group size). The shuffle key is a HASH of the
+    value (routing only); exactness comes from grouping by the actual
+    value inside each hash bucket, so hash collisions can never merge
+    distinct payloads — safe at 10^12 rows where 64-bit birthday
+    collisions are expected. ``fast_hash=True`` uses polars' vectorized
+    64-bit hash; otherwise md5 (slower, Python loop per row).
     """
     import hashlib
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        if fast_hash:
+            import polars as pl
+
+            h = pl.from_arrow(batch.select([col])).select(
+                pl.col(col).hash(seed=0).reinterpret(signed=True).alias("__h")
+            )["__h"].to_arrow()
+            return batch.append_column("__h", h.cast(pa.int64()))
         vals = batch[col].to_pylist()
         h = [hashlib.md5(str(v).encode()).hexdigest() for v in vals]
         return batch.append_column("__h", pa.array(h))
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def first_per_value(g: pd.DataFrame) -> pd.DataFrame:
+        # within a hash bucket, group by the REAL value (collision-proof)
         g = g.sort_values(id_col, kind="stable")
-        out = g.head(1).copy()
-        out["dup_count"] = len(g)
+        out = g.groupby(col, as_index=False, sort=False).agg(
+            **{c: (c, "first") for c in g.columns if c != col},
+            dup_count=(id_col, "size"),
+        )
         return out
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
     if keep_cols:
-        hashed = hashed.select_columns(list({*keep_cols, id_col, "__h"}))
-    out = hashed.groupby("__h").map_groups(first_per_group, batch_format="pandas")
+        hashed = hashed.select_columns(list({*keep_cols, col, id_col, "__h"}))
+    out = hashed.groupby("__h").map_groups(first_per_value, batch_format="pandas")
     return out.drop_columns(["__h"])
 
 

@@ -139,6 +139,10 @@ def windowize(
     lead_cols: list[str] | None = None,
     backfill_cols: list[str] | None = None,
     prefix_sum_cols: list[str] | None = None,
+    rolling_cols: list[str] | None = None,
+    rolling_window_us: int = DEFAULT_SESSION_GAP_US,
+    lag_steps: int = 1,
+    lead_steps: int = 1,
     sessionize: bool = True,
     session_gap_us: int = DEFAULT_SESSION_GAP_US,
     session_on_source_change: bool = True,
@@ -158,6 +162,9 @@ def windowize(
       - ``cum_<c>`` inclusive prefix sum within the doc timeline — the
         zero-leakage point-in-time accumulator (W6: value at t depends only
         on rows with ingest_ts <= t)
+      - ``roll_sum_<c>`` / ``roll_cnt_<c>`` trailing time-range aggregates
+        over rows with ``ts in [t - rolling_window_us, t]`` within the doc
+        (SQL RANGE ... PRECEDING semantics incl. equal-ts peers)
       - ``session_id`` (int64) — increments at doc start, at a time gap >
         ``session_gap_us``, and (optionally) whenever ``source`` changes (W4)
     """
@@ -165,6 +172,7 @@ def windowize(
     lead_cols = lead_cols or []
     backfill_cols = backfill_cols or []
     prefix_sum_cols = prefix_sum_cols or []
+    rolling_cols = rolling_cols or []
 
     def per_bucket(group: pa.Table) -> pa.Table:
         return window_kernel(
@@ -173,6 +181,10 @@ def windowize(
             lead_cols=lead_cols,
             backfill_cols=backfill_cols,
             prefix_sum_cols=prefix_sum_cols,
+            rolling_cols=rolling_cols,
+            rolling_window_us=rolling_window_us,
+            lag_steps=lag_steps,
+            lead_steps=lead_steps,
             sessionize=sessionize,
             session_gap_us=session_gap_us,
             session_on_source_change=session_on_source_change,
@@ -199,6 +211,10 @@ def window_kernel(
     by: str,
     ts_col: str,
     tie_col: str,
+    rolling_cols: list[str] | None = None,
+    rolling_window_us: int = DEFAULT_SESSION_GAP_US,
+    lag_steps: int = 1,
+    lead_steps: int = 1,
 ) -> pa.Table:
     """Vectorized per-bucket window pass (assumes all rows of a doc are
     co-located in ``group``; sorts internally)."""
@@ -219,13 +235,35 @@ def window_kernel(
         new_doc = np.r_[True, docs[1:] != docs[:-1]]
 
         out = group
+        import pyarrow.compute as pc
+
+        arange = np.arange(n, dtype=np.int64)
+        doc_start_idx = np.where(new_doc, arange, 0)
+        np.maximum.accumulate(doc_start_idx, out=doc_start_idx)
+        pos = arange - doc_start_idx  # row position within its doc
+        starts_ = np.flatnonzero(new_doc)
+        ends_ = np.r_[starts_[1:], n]
+        doc_ord_ = np.cumsum(new_doc) - 1
+        pos_from_end = (ends_[doc_ord_] - 1) - arange
+
         for c in lag_cols:
             col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
-            out = out.append_column(f"lag1_{c}", _shift_null(col, new_doc, forward=True))
+            for k in range(1, (lag_steps or 1) + 1):
+                idx = np.maximum(arange - k, 0)
+                shifted = col.take(pa.array(idx))
+                valid = pa.array(pos >= k)
+                out = out.append_column(
+                    f"lag{k}_{c}", pc.if_else(valid, shifted, pa.scalar(None, col.type))
+                )
         for c in lead_cols:
             col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
-            last_of_doc = np.r_[new_doc[1:], True]
-            out = out.append_column(f"lead1_{c}", _shift_null(col, last_of_doc, forward=False))
+            for k in range(1, (lead_steps or 1) + 1):
+                idx = np.minimum(arange + k, n - 1)
+                shifted = col.take(pa.array(idx))
+                valid = pa.array(pos_from_end >= k)
+                out = out.append_column(
+                    f"lead{k}_{c}", pc.if_else(valid, shifted, pa.scalar(None, col.type))
+                )
 
         if sessionize:
             gap = np.r_[False, (ts[1:] - ts[:-1]) > session_gap_us]
@@ -249,6 +287,25 @@ def window_kernel(
             start_offset = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0.0)
             doc_ord = np.cumsum(new_doc) - 1  # doc index per row within bucket
             out = out.append_column(f"cum_{c}", pa.array(g - start_offset[doc_ord]))
+
+        for c in rolling_cols or []:
+            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+            v = np.nan_to_num(col.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
+            pad = np.zeros(n + 1)
+            np.cumsum(v, out=pad[1:])
+            cnt_pad = np.arange(n + 1, dtype=np.float64)
+            roll_sum = np.empty(n)
+            roll_cnt = np.empty(n)
+            starts = np.flatnonzero(new_doc)
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                seg_ts = ts[s:e]
+                lo = s + np.searchsorted(seg_ts, seg_ts - rolling_window_us, side="left")
+                hi = s + np.searchsorted(seg_ts, seg_ts, side="right")
+                roll_sum[s:e] = pad[hi] - pad[lo]
+                roll_cnt[s:e] = cnt_pad[hi] - cnt_pad[lo]
+            out = out.append_column(f"roll_sum_{c}", pa.array(roll_sum))
+            out = out.append_column(f"roll_cnt_{c}", pa.array(roll_cnt.astype(np.int64)))
 
         for c in backfill_cols:
             col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
