@@ -232,6 +232,16 @@ def fit_logreg_fullbatch(
     ds = ds.materialize()  # re-read per step otherwise (one pass per step)
     n_total = ds.count()
 
+    # gradients ride the same mergeable-sketch machinery as count_stats:
+    # sparse (class<<32 | token) -> grad partials per batch, parallel
+    # fan-in tree reduce — no dense (K x V) payload per batch, no serial
+    # driver fold. Special keys carry bias grads and the loss sum.
+    from modlyn_ray.stages.count_stats import tree_reduce_partials
+
+    SENT = (1 << 32) - 1
+    BIAS_BASE = np.int64(K) << 32  # bias grad for class c: (K + c)<<32 | SENT
+    LOSS_KEY = (np.int64(2 * K + 1) << 32) | SENT
+
     for _ in range(steps):
         ref = ray.put((W, b))
         log1p = config.log1p
@@ -239,10 +249,11 @@ def fit_logreg_fullbatch(
 
         def grad_partial(batch: pa.Table) -> pa.Table:
             Wl, bl = ray.get(ref)
+            Kl = len(bl)
             rows, toks, cnt, n = batch_rtc(batch)
             x = np.log1p(cnt) if log1p else cnt
             y = np.array([lut_local[s] for s in batch["source"].to_pylist()], dtype=np.int64)
-            logits = np.broadcast_to(bl, (n, len(bl))).copy()
+            logits = np.broadcast_to(bl, (n, Kl)).copy()
             if len(toks):
                 np.add.at(logits, rows, (Wl[:, toks] * x).T)
             logits -= logits.max(axis=1, keepdims=True)
@@ -251,26 +262,50 @@ def fit_logreg_fullbatch(
             loss_sum = float(-np.log(np.maximum(p[np.arange(n), y], 1e-300)).sum())
             d = p
             d[np.arange(n), y] -= 1.0
-            gWT = np.zeros((Wl.shape[1], len(bl)))
+            # sparse grad entries: for each (row, token) pair and class c:
+            # g[c, tok] += d[row, c] * x — emit per (c, tok) sums
+            keys_list = []
+            vals_list = []
             if len(toks):
-                np.add.at(gWT, toks, d[rows] * x[:, None])
+                utok, tok_inv = np.unique(toks, return_inverse=True)
+                nu = len(utok)
+                gsub = np.zeros((Kl, nu))
+                for c in range(Kl):
+                    gsub[c] = np.bincount(tok_inv, weights=d[rows, c] * x, minlength=nu)
+                kk, tt = np.meshgrid(np.arange(Kl, dtype=np.int64), utok, indexing="ij")
+                keys_list.append(((kk << 32) | tt).ravel())
+                vals_list.append(gsub.ravel())
+            keys_list.append(((np.int64(Kl) + np.arange(Kl, dtype=np.int64)) << 32) | SENT)
+            vals_list.append(d.sum(axis=0))
+            keys_list.append(np.array([LOSS_KEY], dtype=np.int64))
+            vals_list.append(np.array([loss_sum]))
+            keys = np.concatenate(keys_list)
+            vals = np.concatenate(vals_list)
+            z = np.zeros(len(keys))
             return pa.table(
                 {
-                    "gW": pa.array([gWT.T.ravel()], type=pa.list_(pa.float64())),
-                    "gb": pa.array([d.sum(axis=0)], type=pa.list_(pa.float64())),
-                    "loss_sum": pa.array([loss_sum]),
-                    "n": pa.array([n]),
+                    "key": pa.array(keys),
+                    "occ": pa.array(vals),
+                    "sumsq": pa.array(z),
+                    "df": pa.array(z),
                 }
             )
 
-        parts = ds.map_batches(grad_partial, batch_format="pyarrow", batch_size=8192).take_all()
+        partials = ds.map_batches(grad_partial, batch_format="pyarrow", batch_size=8192)
+        keys, vals, _, _ = tree_reduce_partials(partials)
+        keys = np.asarray(keys, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float64)
         gW = np.zeros((K, V))
         gb = np.zeros(K)
         loss_sum = 0.0
-        for r in parts:
-            gW += np.asarray(r["gW"]).reshape(K, V)
-            gb += np.asarray(r["gb"])
-            loss_sum += r["loss_sum"]
+        hi = (keys >> 32).astype(np.int64)
+        lo = (keys & SENT).astype(np.int64)
+        wmask = (lo != SENT) & (hi < K)
+        gW[hi[wmask], lo[wmask]] = vals[wmask]
+        bmask = (lo == SENT) & (hi >= K) & (hi < 2 * K)
+        gb[hi[bmask] - K] = vals[bmask]
+        lmask = keys == LOSS_KEY
+        loss_sum = float(vals[lmask].sum())
         gW = gW / n_total + config.weight_decay * W
         gb = gb / n_total
         losses.append(loss_sum / n_total)

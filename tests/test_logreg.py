@@ -82,6 +82,40 @@ def test_fullbatch_decreases_loss():
     assert model.losses[-1] < model.losses[0]
 
 
+def test_fullbatch_matches_dense_numpy_oracle():
+    """The distributed sparse-gradient tree reduce must equal dense
+    full-batch Adam exactly (order-insensitive float64 sums)."""
+    profile = synth.TINY
+    d = synth.ensure_profile(profile)
+    cfg = LogRegConfig(vocab=profile.vocab)
+    steps = 7
+    model = fit_logreg_fullbatch(rd.read_parquet(f"{d}/sequences"), cfg, steps=steps)
+
+    X, y, classes = oracle.dense_counts(synth.make_sequences(profile), profile.vocab)
+    N, K = len(y), len(classes)
+    W = np.zeros((K, profile.vocab))
+    b = np.zeros(K)
+    from modlyn_ray.stages.logreg import AdamState
+
+    sW, sb = AdamState.like(W), AdamState.like(b)
+    losses = []
+    for _ in range(steps):
+        logits = X @ W.T + b
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        losses.append(float(-np.log(p[np.arange(N), y]).mean()))
+        dd = p
+        dd[np.arange(N), y] -= 1.0
+        gW = dd.T @ X / N + cfg.weight_decay * W
+        gb = dd.sum(axis=0) / N
+        sW.update(W, gW, cfg.lr)
+        sb.update(b, gb, cfg.lr)
+    np.testing.assert_allclose(model.W, W.astype(np.float32), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(model.b, b.astype(np.float32), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(model.losses, losses, rtol=1e-8)
+
+
 def test_predict_and_metrics():
     profile = synth.SMALL
     d = synth.ensure_profile(profile)
