@@ -1,0 +1,167 @@
+"""Reference-shaped facade: the modlyn user-facing API re-expressed on Ray.
+
+A user of the reference drives two classes
+(/root/reference/modlyn/__init__.py): ``SimpleLogReg`` (construct on data,
+``fit()``, ``get_weights()`` → wide classes×features frame with
+``attrs["method_name"]``) and ``CompareScores`` (list of such frames →
+``compute_jaccard_comparison()`` tidy results). This module provides the
+same surface over a ``ray.data.Dataset`` of tokenized sequences:
+
+    model = SimpleLogReg(ds, label_column="source", vocab=512)
+    model.fit(max_epochs=4, dataset_type="parquet")     # aliases accepted
+    weights = model.get_weights()                       # wide pandas frame
+    cmp = CompareScores([weights, other], n_top_values=[25, 50])
+    results = cmp.compute_jaccard_comparison()
+
+Differences from the reference (deliberate, documented):
+- no matplotlib plot methods (SURVEY §2.1 S7 — metrics manifests instead)
+- ``plot_classification_report``'s eval-side LabelEncoder REFIT
+  (_simple_logreg_model.py:235-236) is not reproduced; evaluation reuses
+  the train encoder (SURVEY §7.4.6) via ``classification_metrics()``
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ray.data import Dataset
+
+from modlyn_ray.sources.readers import load, normalize_reader
+from modlyn_ray.stages.logreg import (
+    LogRegConfig,
+    LogRegModel,
+    classification_metrics,
+    confusion_matrix,
+    fit_logreg,
+    fit_logreg_fullbatch,
+    predict,
+)
+
+
+class SimpleLogReg:
+    """Softmax-regression feature selector over tokenized sequences.
+
+    Mirrors the reference constructor surface
+    (/root/reference/modlyn/models/_simple_logreg_model.py:31-47): data +
+    label column + lr/weight_decay; dims inferred from the data (vocab) and
+    labels (n_classes)."""
+
+    def __init__(
+        self,
+        data: Dataset | str,
+        label_column: str = "source",
+        vocab: int | None = None,
+        lr: float = 1e-2,
+        weight_decay: float = 1e-2,
+        log1p: bool = False,
+    ):
+        self.ds = load(data) if isinstance(data, str) else data
+        self.label_column = label_column
+        if vocab is None:
+            # infer n_vars from the data like adata.n_vars (:44)
+            import pyarrow.compute as pc
+
+            vocab = (
+                self.ds.map_batches(
+                    lambda b: {"m": [pc.max(b["tokens"].combine_chunks().flatten()).as_py() or 0]},
+                    batch_format="pyarrow",
+                ).max("m")
+                + 1
+            )
+        self.config = LogRegConfig(
+            vocab=int(vocab), lr=lr, weight_decay=weight_decay, log1p=log1p
+        )
+        self.model: LogRegModel | None = None
+
+    def fit(
+        self,
+        max_epochs: int = 4,
+        max_steps: int = 3000,
+        batch_size: int = 256,
+        dataset_type: str = "parquet",
+        strategy: str = "golden",
+        **_kwargs,
+    ) -> "SimpleLogReg":
+        """Train. ``dataset_type`` aliases are normalized exactly like the
+        reference's backend aliases (_simple_logreg_model.py:141-150; the
+        behavior tested at tests/test_dataset_type_alias.py:54,62-63).
+        ``strategy``: 'golden' = deterministic minibatch schedule;
+        'fullbatch' = synchronous cluster-wide full-gradient steps."""
+        normalize_reader(dataset_type)  # raises on unknown alias
+        self.config.max_epochs = max_epochs
+        self.config.max_steps = max_steps
+        self.config.batch_size = batch_size
+        if self.label_column != "source":
+            ds = self.ds.map_batches(
+                lambda b, c=self.label_column: b.rename_columns(
+                    [("source" if n == c else n) for n in b.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            ds = self.ds
+        if strategy == "fullbatch":
+            self.model = fit_logreg_fullbatch(ds, self.config, steps=max_steps)
+        else:
+            self.model = fit_logreg(ds, self.config)
+        return self
+
+    def get_weights(self) -> pd.DataFrame:
+        """Wide (classes x features) frame with attrs['method_name'] —
+        byte-for-byte the reference's result shape
+        (_simple_logreg_model.py:170-192)."""
+        if self.model is None:
+            raise RuntimeError("call fit() first")
+        return self.model.weights_wide()
+
+    def get_weights_tall(self):
+        if self.model is None:
+            raise RuntimeError("call fit() first")
+        return self.model.weights_tall()
+
+    def evaluate(self, ds: Dataset | None = None) -> dict:
+        """Accuracy / macro + weighted F1 / per-class P-R-F1 on a dataset
+        (train encoder reused — never refit)."""
+        if self.model is None:
+            raise RuntimeError("call fit() first")
+        scored = predict(ds or self.ds, self.model)
+        cm = confusion_matrix(scored, self.model.classes)
+        return classification_metrics(cm, self.model.classes)
+
+
+class CompareScores:
+    """Reference eval surface (/root/reference/modlyn/eval/_jaccard.py:9-23):
+    wide frames in, tidy Jaccard comparison out."""
+
+    def __init__(self, dataframes: list[pd.DataFrame], n_top_values: list[int] | None = None):
+        if n_top_values is None:
+            n_top_values = [25, 50, 100, 200]  # _jaccard.py:19-20
+        self.dataframes = dataframes
+        self.n_top_values = n_top_values
+        self.results_df: pd.DataFrame | None = None
+
+    def compute_jaccard_comparison(self) -> pd.DataFrame:
+        from modlyn_ray import oracle
+
+        frames = {df.attrs["method_name"]: df for df in self.dataframes}
+        self.results_df = oracle.jaccard_comparison(frames, self.n_top_values)
+        return self.results_df
+
+    def compute_jaccard_comparison_distributed(self) -> pd.DataFrame:
+        """Same semantics over tall Datasets (for vocab sizes where wide
+        frames don't fit a driver)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from modlyn_ray.eval.jaccard import compute_jaccard_comparison
+
+        talls = []
+        for df in self.dataframes:
+            long = df.reset_index(names="class").melt(
+                id_vars="class", var_name="token_id", value_name="score"
+            )
+            long["token_id"] = long["token_id"].astype(np.int32)
+            long["method"] = df.attrs["method_name"]
+            talls.append(pa.Table.from_pandas(long, preserve_index=False))
+        self.results_df = compute_jaccard_comparison(talls, self.n_top_values)
+        return self.results_df
