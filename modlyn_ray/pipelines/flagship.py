@@ -54,8 +54,6 @@ def pit_features(
     attrs rows ride the same exchange as the sequences (side-tagged union),
     halving all-to-all traffic vs windowize-then-asof_join.
     """
-    import pyarrow.compute as pc
-
     from modlyn_ray.stages.temporal import (
         DEFAULT_SESSION_GAP_US,
         add_bucket_column,

@@ -218,111 +218,110 @@ def window_kernel(
 ) -> pa.Table:
     """Vectorized per-bucket window pass (assumes all rows of a doc are
     co-located in ``group``; sorts internally)."""
-    if True:
-        n = len(group)
-        if n == 0:
-            return group
-        docs = _doc_codes(group[by])
-        ts = _ts_int(group[ts_col])
-        tie = (
-            group[tie_col].combine_chunks().to_numpy(zero_copy_only=False)
-            if tie_col in group.column_names
-            else np.arange(n)
-        )
-        order = np.lexsort((tie, ts, docs))
-        group = group.take(pa.array(order))
-        docs, ts = docs[order], ts[order]
-        new_doc = np.r_[True, docs[1:] != docs[:-1]]
+    n = len(group)
+    if n == 0:
+        return group
+    docs = _doc_codes(group[by])
+    ts = _ts_int(group[ts_col])
+    tie = (
+        group[tie_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if tie_col in group.column_names
+        else np.arange(n)
+    )
+    order = np.lexsort((tie, ts, docs))
+    group = group.take(pa.array(order))
+    docs, ts = docs[order], ts[order]
+    new_doc = np.r_[True, docs[1:] != docs[:-1]]
 
-        out = group
+    out = group
+    import pyarrow.compute as pc
+
+    arange = np.arange(n, dtype=np.int64)
+    doc_start_idx = np.where(new_doc, arange, 0)
+    np.maximum.accumulate(doc_start_idx, out=doc_start_idx)
+    pos = arange - doc_start_idx  # row position within its doc
+    starts_ = np.flatnonzero(new_doc)
+    ends_ = np.r_[starts_[1:], n]
+    doc_ord_ = np.cumsum(new_doc) - 1
+    pos_from_end = (ends_[doc_ord_] - 1) - arange
+
+    for c in lag_cols:
+        col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+        for k in range(1, (lag_steps or 1) + 1):
+            idx = np.maximum(arange - k, 0)
+            shifted = col.take(pa.array(idx))
+            valid = pa.array(pos >= k)
+            out = out.append_column(
+                f"lag{k}_{c}", pc.if_else(valid, shifted, pa.scalar(None, col.type))
+            )
+    for c in lead_cols:
+        col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+        for k in range(1, (lead_steps or 1) + 1):
+            idx = np.minimum(arange + k, n - 1)
+            shifted = col.take(pa.array(idx))
+            valid = pa.array(pos_from_end >= k)
+            out = out.append_column(
+                f"lead{k}_{c}", pc.if_else(valid, shifted, pa.scalar(None, col.type))
+            )
+
+    if sessionize:
+        gap = np.r_[False, (ts[1:] - ts[:-1]) > session_gap_us]
+        brk = new_doc | gap
+        if session_on_source_change and "source" in out.column_names:
+            src = _doc_codes(out["source"])
+            brk = brk | (np.r_[False, src[1:] != src[:-1]] & ~new_doc)
+        # session_id = session index WITHIN the doc (0-based), so it is
+        # globally meaningful regardless of bucket assignment
+        g = np.cumsum(brk).astype(np.int64)
+        start_val = np.zeros(n, dtype=np.int64)
+        start_val[new_doc] = g[new_doc]
+        np.maximum.accumulate(start_val, out=start_val)
+        out = out.append_column("session_id", pa.array(g - start_val))
+
+    for c in prefix_sum_cols:
+        col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+        v = np.nan_to_num(col.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
+        g = np.cumsum(v)
+        starts = np.flatnonzero(new_doc)
+        start_offset = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0.0)
+        doc_ord = np.cumsum(new_doc) - 1  # doc index per row within bucket
+        out = out.append_column(f"cum_{c}", pa.array(g - start_offset[doc_ord]))
+
+    for c in rolling_cols or []:
+        col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+        v = np.nan_to_num(col.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
+        pad = np.zeros(n + 1)
+        np.cumsum(v, out=pad[1:])
+        cnt_pad = np.arange(n + 1, dtype=np.float64)
+        roll_sum = np.empty(n)
+        roll_cnt = np.empty(n)
+        starts = np.flatnonzero(new_doc)
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            seg_ts = ts[s:e]
+            lo = s + np.searchsorted(seg_ts, seg_ts - rolling_window_us, side="left")
+            hi = s + np.searchsorted(seg_ts, seg_ts, side="right")
+            roll_sum[s:e] = pad[hi] - pad[lo]
+            roll_cnt[s:e] = cnt_pad[hi] - cnt_pad[lo]
+        out = out.append_column(f"roll_sum_{c}", pa.array(roll_sum))
+        out = out.append_column(f"roll_cnt_{c}", pa.array(roll_cnt.astype(np.int64)))
+
+    for c in backfill_cols:
+        col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+        valid = ~np.asarray(col.is_null())
+        idx = np.where(valid, np.arange(n), -1)
+        np.maximum.accumulate(idx, out=idx)
+        # reset carry at doc boundaries: last valid index must be >= doc start
+        doc_start = np.zeros(n, dtype=np.int64)
+        doc_start[new_doc] = np.flatnonzero(new_doc)
+        np.maximum.accumulate(doc_start, out=doc_start)
+        take = np.where(idx >= doc_start, idx, -1)
+        filled = col.take(pa.array(np.where(take >= 0, take, 0)))
+        mask = pa.array(take >= 0)
         import pyarrow.compute as pc
 
-        arange = np.arange(n, dtype=np.int64)
-        doc_start_idx = np.where(new_doc, arange, 0)
-        np.maximum.accumulate(doc_start_idx, out=doc_start_idx)
-        pos = arange - doc_start_idx  # row position within its doc
-        starts_ = np.flatnonzero(new_doc)
-        ends_ = np.r_[starts_[1:], n]
-        doc_ord_ = np.cumsum(new_doc) - 1
-        pos_from_end = (ends_[doc_ord_] - 1) - arange
-
-        for c in lag_cols:
-            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
-            for k in range(1, (lag_steps or 1) + 1):
-                idx = np.maximum(arange - k, 0)
-                shifted = col.take(pa.array(idx))
-                valid = pa.array(pos >= k)
-                out = out.append_column(
-                    f"lag{k}_{c}", pc.if_else(valid, shifted, pa.scalar(None, col.type))
-                )
-        for c in lead_cols:
-            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
-            for k in range(1, (lead_steps or 1) + 1):
-                idx = np.minimum(arange + k, n - 1)
-                shifted = col.take(pa.array(idx))
-                valid = pa.array(pos_from_end >= k)
-                out = out.append_column(
-                    f"lead{k}_{c}", pc.if_else(valid, shifted, pa.scalar(None, col.type))
-                )
-
-        if sessionize:
-            gap = np.r_[False, (ts[1:] - ts[:-1]) > session_gap_us]
-            brk = new_doc | gap
-            if session_on_source_change and "source" in out.column_names:
-                src = _doc_codes(out["source"])
-                brk = brk | (np.r_[False, src[1:] != src[:-1]] & ~new_doc)
-            # session_id = session index WITHIN the doc (0-based), so it is
-            # globally meaningful regardless of bucket assignment
-            g = np.cumsum(brk).astype(np.int64)
-            start_val = np.zeros(n, dtype=np.int64)
-            start_val[new_doc] = g[new_doc]
-            np.maximum.accumulate(start_val, out=start_val)
-            out = out.append_column("session_id", pa.array(g - start_val))
-
-        for c in prefix_sum_cols:
-            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
-            v = np.nan_to_num(col.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
-            g = np.cumsum(v)
-            starts = np.flatnonzero(new_doc)
-            start_offset = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0.0)
-            doc_ord = np.cumsum(new_doc) - 1  # doc index per row within bucket
-            out = out.append_column(f"cum_{c}", pa.array(g - start_offset[doc_ord]))
-
-        for c in rolling_cols or []:
-            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
-            v = np.nan_to_num(col.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
-            pad = np.zeros(n + 1)
-            np.cumsum(v, out=pad[1:])
-            cnt_pad = np.arange(n + 1, dtype=np.float64)
-            roll_sum = np.empty(n)
-            roll_cnt = np.empty(n)
-            starts = np.flatnonzero(new_doc)
-            ends = np.r_[starts[1:], n]
-            for s, e in zip(starts, ends):
-                seg_ts = ts[s:e]
-                lo = s + np.searchsorted(seg_ts, seg_ts - rolling_window_us, side="left")
-                hi = s + np.searchsorted(seg_ts, seg_ts, side="right")
-                roll_sum[s:e] = pad[hi] - pad[lo]
-                roll_cnt[s:e] = cnt_pad[hi] - cnt_pad[lo]
-            out = out.append_column(f"roll_sum_{c}", pa.array(roll_sum))
-            out = out.append_column(f"roll_cnt_{c}", pa.array(roll_cnt.astype(np.int64)))
-
-        for c in backfill_cols:
-            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
-            valid = ~np.asarray(col.is_null())
-            idx = np.where(valid, np.arange(n), -1)
-            np.maximum.accumulate(idx, out=idx)
-            # reset carry at doc boundaries: last valid index must be >= doc start
-            doc_start = np.zeros(n, dtype=np.int64)
-            doc_start[new_doc] = np.flatnonzero(new_doc)
-            np.maximum.accumulate(doc_start, out=doc_start)
-            take = np.where(idx >= doc_start, idx, -1)
-            filled = col.take(pa.array(np.where(take >= 0, take, 0)))
-            mask = pa.array(take >= 0)
-            import pyarrow.compute as pc
-
-            out = out.append_column(f"{c}_ffill", pc.if_else(mask, filled, pa.scalar(None, col.type)))
-        return out
+        out = out.append_column(f"{c}_ffill", pc.if_else(mask, filled, pa.scalar(None, col.type)))
+    return out
 
 
 def _shift_null(col: pa.Array, null_mask: np.ndarray, forward: bool) -> pa.Array:
@@ -434,59 +433,58 @@ def asof_kernel(
 ) -> pa.Table:
     """Per-bucket backward as-of merge: slim key frames through pandas
     merge_asof; payload (incl. token lists) stays in Arrow."""
-    if True:
-        nl, nr = len(ltbl), len(rtbl)
-        if nl == 0:
-            return _empty_asof_schema(ltbl, value_cols, vtypes, ts_col, suffix)
-        if nr == 0:
-            out = ltbl
-            for c in value_cols:
-                out = out.append_column(f"{c}{suffix}", pa.nulls(nl, vtypes[c]))
-            return out.append_column(f"matched{suffix}_ts", pa.nulls(nl, pa.timestamp("us")))
-        lf = pd.DataFrame(
-            {
-                "doc": ltbl[by].combine_chunks().to_pandas(),
-                "ts": _ts_int(ltbl[ts_col]),
-                "idx": np.arange(nl, dtype=np.int64),
-            }
-        ).sort_values("ts", kind="stable")
-        rts = _ts_int(rtbl[ts_col])
-        rdata = {
-            "doc": rtbl[by].combine_chunks().to_pandas(),
-            "ts": rts,
-            "__rts": rts,  # carried payload: the matched right timestamp
-        }
-        for c in value_cols:
-            rdata[c] = rtbl[c].combine_chunks().to_pandas()
-        rf = pd.DataFrame(rdata)
-        # deterministic tie-break among equal right timestamps: greatest
-        # value tuple wins (merge_asof picks the last row in frame order)
-        rf = rf.sort_values(["ts", *value_cols], kind="stable")
-        merged = pd.merge_asof(
-            lf,
-            rf,
-            on="ts",
-            by="doc",
-            direction="backward",
-            allow_exact_matches=not strict,
-        )
-        back = np.argsort(merged["idx"].to_numpy(), kind="stable")
-        merged = merged.iloc[back]
+    nl, nr = len(ltbl), len(rtbl)
+    if nl == 0:
+        return _empty_asof_schema(ltbl, value_cols, vtypes, ts_col, suffix)
+    if nr == 0:
         out = ltbl
         for c in value_cols:
-            out = out.append_column(
-                f"{c}{suffix}", pa.array(merged[c], type=vtypes[c], from_pandas=True)
-            )
-        mts = merged["__rts"].astype("float64").to_numpy()
-        mts_arr = pa.array(
-            np.where(np.isnan(mts), 0, mts).astype(np.int64), type=pa.timestamp("us")
+            out = out.append_column(f"{c}{suffix}", pa.nulls(nl, vtypes[c]))
+        return out.append_column(f"matched{suffix}_ts", pa.nulls(nl, pa.timestamp("us")))
+    lf = pd.DataFrame(
+        {
+            "doc": ltbl[by].combine_chunks().to_pandas(),
+            "ts": _ts_int(ltbl[ts_col]),
+            "idx": np.arange(nl, dtype=np.int64),
+        }
+    ).sort_values("ts", kind="stable")
+    rts = _ts_int(rtbl[ts_col])
+    rdata = {
+        "doc": rtbl[by].combine_chunks().to_pandas(),
+        "ts": rts,
+        "__rts": rts,  # carried payload: the matched right timestamp
+    }
+    for c in value_cols:
+        rdata[c] = rtbl[c].combine_chunks().to_pandas()
+    rf = pd.DataFrame(rdata)
+    # deterministic tie-break among equal right timestamps: greatest
+    # value tuple wins (merge_asof picks the last row in frame order)
+    rf = rf.sort_values(["ts", *value_cols], kind="stable")
+    merged = pd.merge_asof(
+        lf,
+        rf,
+        on="ts",
+        by="doc",
+        direction="backward",
+        allow_exact_matches=not strict,
+    )
+    back = np.argsort(merged["idx"].to_numpy(), kind="stable")
+    merged = merged.iloc[back]
+    out = ltbl
+    for c in value_cols:
+        out = out.append_column(
+            f"{c}{suffix}", pa.array(merged[c], type=vtypes[c], from_pandas=True)
         )
-        valid = pa.array(~np.isnan(mts))
-        import pyarrow.compute as pc
+    mts = merged["__rts"].astype("float64").to_numpy()
+    mts_arr = pa.array(
+        np.where(np.isnan(mts), 0, mts).astype(np.int64), type=pa.timestamp("us")
+    )
+    valid = pa.array(~np.isnan(mts))
+    import pyarrow.compute as pc
 
-        return out.append_column(
-            f"matched{suffix}_ts", pc.if_else(valid, mts_arr, pa.scalar(None, pa.timestamp("us")))
-        )
+    return out.append_column(
+        f"matched{suffix}_ts", pc.if_else(valid, mts_arr, pa.scalar(None, pa.timestamp("us")))
+    )
 
 
 def _empty_asof_schema(ltbl: pa.Table, value_cols, vtypes, ts_col, suffix) -> pa.Table:
