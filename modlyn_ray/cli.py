@@ -1,0 +1,149 @@
+"""Job entrypoint: `ray job submit -- python -m modlyn_ray.cli <cmd> ...`.
+
+The north rule requires pipelines launched via ``ray job submit`` on a
+fixed-size cluster; inside a submitted job ``ray.init(address="auto")``
+attaches to that cluster. Standalone (this sandbox) it starts a local
+session. Every command writes checkpointed, manifest-backed output via
+``state.checkpoint.run_stage`` so a resubmitted job resumes instead of
+recomputing.
+
+Commands:
+    pit        --input DIR --attrs FILE --out DIR [--buckets N]
+    stats      --input DIR --out DIR
+    wilcoxon   --input DIR --out DIR
+    logreg     --input DIR --out DIR [--vocab V --steps S --batch B]
+    synth      --profile tiny|small|bench [--out DIR]
+
+Example (cluster):
+    ray job submit --working-dir . -- python -m modlyn_ray.cli pit \
+        --input s3://corpus/sequences --attrs s3://corpus/attrs.parquet \
+        --out s3://features/pit
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if addr in ("local", ""):
+            ncpu = os.environ.get("RAY_GRAFT_CPUS")
+            ray.init(address="local", num_cpus=int(ncpu) if ncpu else None, **kwargs)
+        else:
+            ray.init(address=addr, **kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="modlyn_ray", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("pit", help="point-in-time feature pipeline")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--attrs")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+
+    ss = sub.add_parser("stats", help="per-(class, token) count statistics")
+    ss.add_argument("--input", required=True)
+    ss.add_argument("--out", required=True)
+
+    sw = sub.add_parser("wilcoxon", help="Wilcoxon rank-sum scores")
+    sw.add_argument("--input", required=True)
+    sw.add_argument("--out", required=True)
+
+    sl = sub.add_parser("logreg", help="train the SimpleLogReg-equivalent")
+    sl.add_argument("--input", required=True)
+    sl.add_argument("--out", required=True)
+    sl.add_argument("--vocab", type=int)
+    sl.add_argument("--steps", type=int, default=50)
+    sl.add_argument("--batch", type=int, default=256)
+
+    sy = sub.add_parser("synth", help="generate a synthetic corpus profile")
+    sy.add_argument("--profile", default="small", choices=["tiny", "small", "bench"])
+    sy.add_argument("--out")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from modlyn_ray import synth
+
+        prof = synth.PROFILES[args.profile]
+        out = synth.write_profile(prof, args.out) if args.out else synth.ensure_profile(prof)
+        print(json.dumps({"cmd": "synth", "profile": args.profile, "dir": out}))
+        return 0
+
+    _ensure_ray()
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from modlyn_ray.state.checkpoint import read_manifest, run_stage
+
+    if args.cmd == "pit":
+        from modlyn_ray.pipelines.flagship import pit_features
+
+        ds = run_stage(
+            args.out,
+            "pit_features",
+            lambda: pit_features(
+                rd.read_parquet(args.input),
+                rd.read_parquet(args.attrs) if args.attrs else None,
+                n_buckets=args.buckets,
+            ),
+            config={"input": args.input, "attrs": args.attrs, "buckets": args.buckets},
+            inputs=[args.input] + ([args.attrs] if args.attrs else []),
+            token_checksum=True,
+        )
+    elif args.cmd == "stats":
+        from modlyn_ray.stages.count_stats import count_stats
+
+        ds = run_stage(
+            args.out,
+            "count_stats",
+            lambda: count_stats(rd.read_parquet(args.input)),
+            config={"input": args.input},
+            inputs=[args.input],
+        )
+    elif args.cmd == "wilcoxon":
+        from modlyn_ray.stages.rank_stats import wilcoxon_scores
+
+        def build():
+            import ray.data as rd2
+
+            return rd2.from_arrow(wilcoxon_scores(rd.read_parquet(args.input)))
+
+        ds = run_stage(args.out, "wilcoxon", build, config={"input": args.input}, inputs=[args.input])
+    elif args.cmd == "logreg":
+        from modlyn_ray.api import SimpleLogReg
+
+        def build():
+            import ray.data as rd2
+
+            model = SimpleLogReg(args.input, vocab=args.vocab)
+            model.fit(max_steps=args.steps, batch_size=args.batch)
+            return rd2.from_arrow(model.get_weights_tall())
+
+        ds = run_stage(
+            args.out,
+            "logreg_weights",
+            build,
+            config={"input": args.input, "steps": args.steps, "batch": args.batch},
+            inputs=[args.input],
+        )
+    else:  # pragma: no cover
+        raise SystemExit(2)
+
+    man = read_manifest(args.out)
+    print(json.dumps({"cmd": args.cmd, "out": args.out, "rows": man["rows"], "wall_sec": man["wall_sec"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
