@@ -46,6 +46,7 @@ def pit_features(
     n_buckets: int = 64,
     detect_skew: bool = True,
     session_gap_us: int | None = None,
+    validate: bool = False,
 ) -> Dataset:
     """sequences (+ optional doc_attrs) -> point-in-time feature Dataset.
 
@@ -62,6 +63,12 @@ def pit_features(
     )
 
     gap = session_gap_us or DEFAULT_SESSION_GAP_US
+    if validate:
+        from modlyn_ray.schema import validate_sequences_batch
+
+        sequences = sequences.map_batches(
+            validate_sequences_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
     heavy = detect_heavy_keys(sequences, n_buckets=n_buckets) if detect_skew else {}
     seq = sequences.map_batches(add_row_mix, batch_format="pyarrow", zero_copy_batch=True)
 
