@@ -21,6 +21,55 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_worker_check_done = False
+
+
+def _ensure_workers_can_import() -> None:
+    """Ray workers unpickle modlyn_ray UDFs by module reference; if the
+    driver initialised Ray from a cwd where ``modlyn_ray`` is not
+    importable, every task dies with ModuleNotFoundError. Probe one worker
+    and, if needed, register the whole package for pickle-BY-VALUE so UDFs
+    ship self-contained."""
+    global _worker_check_done
+    if _worker_check_done:
+        return
+    _worker_check_done = True
+    import ray
+
+    if not ray.is_initialized():
+        return
+
+    @ray.remote(num_cpus=0)
+    def _probe() -> bool:
+        import importlib.util
+
+        return importlib.util.find_spec("modlyn_ray") is not None
+
+    try:
+        ok = ray.get(_probe.remote(), timeout=60)
+    except Exception:
+        ok = False
+    if ok:
+        return
+    import importlib
+    import pkgutil
+
+    import modlyn_ray
+
+    for m in list(pkgutil.walk_packages(modlyn_ray.__path__, "modlyn_ray.")):
+        try:
+            importlib.import_module(m.name)
+        except ImportError:
+            pass
+    from ray import cloudpickle
+
+    for name, mod in list(sys.modules.items()):
+        if name.startswith("modlyn_ray") and mod is not None:
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: documents -> tokenize
@@ -31,6 +80,7 @@ def entry() -> Any:
 
     import ray.data as rd
 
+    _ensure_workers_can_import()
     from modlyn_ray.pipelines.flagship import pit_features
     from modlyn_ray.stages.text import tokenize
 
@@ -64,6 +114,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _ensure_workers_can_import()
     from modlyn_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)
