@@ -87,7 +87,9 @@ class SimpleLogReg:
         behavior tested at tests/test_dataset_type_alias.py:54,62-63).
         ``strategy``: 'golden' = deterministic minibatch schedule;
         'fullbatch' = synchronous cluster-wide full-gradient steps."""
-        normalize_reader(dataset_type)  # raises on unknown alias
+        # normalized backend recorded like the reference's
+        # model.datamodule.dataset_type (test_dataset_type_alias.py:62-63)
+        self.dataset_type = normalize_reader(dataset_type)
         self.config.max_epochs = max_epochs
         self.config.max_steps = max_steps
         self.config.batch_size = batch_size

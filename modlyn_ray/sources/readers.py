@@ -23,14 +23,22 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-# alias → canonical, in the spirit of the reference's
-# {"in-memory": "in_memory", "dask-arrayloader": "dask_arrayloader", ...}
+# alias → canonical. Includes the reference's EXACT alias table
+# (_simple_logreg_model.py:141-150, incl. the "arrayloaders-dasd" typo
+# alias tested at tests/test_dataset_type_alias.py:54,62-63): its
+# "dask-arrayloader" out-of-core backend maps to our sharded-parquet
+# reader, its "in-memory" backend to the memory reader.
 ALIASES = {
     "parquet": "parquet",
     "pq": "parquet",
     "dir": "parquet",
     "shards": "parquet",
     "lazy": "parquet",
+    "dask": "parquet",
+    "arrayloaders-dask": "parquet",
+    "arrayloaders-dasd": "parquet",  # reference's common-typo alias
+    "dask-arrayloader": "parquet",
+    "dask_arrayloader": "parquet",
     "memory": "memory",
     "in-memory": "memory",
     "in_memory": "memory",

@@ -15,10 +15,21 @@ def test_alias_normalization():
     # mirrors the reference's alias test (tests/test_dataset_type_alias.py:54,62-63)
     for alias in ["parquet", "pq", "dir", "shards", "lazy"]:
         assert normalize_reader(alias) == "parquet"
+    # the reference's out-of-core backend aliases (incl. its typo alias)
+    for alias in ["dask", "arrayloaders-dask", "arrayloaders-dasd", "dask-arrayloader"]:
+        assert normalize_reader(alias) == "parquet"
     for alias in ["memory", "in-memory", "in_memory", "InMemory"]:
         assert normalize_reader(alias) == "memory"
     with pytest.raises(ValueError, match="unknown dataset type"):
         normalize_reader("zarr")
+
+
+def test_facade_records_normalized_dataset_type(tiny_dir):
+    from modlyn_ray.api import SimpleLogReg
+
+    m = SimpleLogReg(f"{tiny_dir}/sequences", vocab=8)
+    m.fit(max_steps=2, batch_size=16, dataset_type="arrayloaders-dasd")
+    assert m.dataset_type == "parquet"  # normalized, like datamodule.dataset_type
 
 
 def test_load_parquet_and_memory(tiny_dir):
