@@ -117,6 +117,95 @@ def make_queries(ds: Dataset, n: int, emb_col="embedding", id_col="vec_id"):
     return qids, Q
 
 
+def train_ivf_centroids(
+    ds: Dataset, n_centroids: int = 16, emb_col: str = "embedding",
+    sample: float = 0.2, iters: int = 8, seed: int = 9,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means (Lloyd, few iterations) on a
+    SAMPLE of normalized vectors — driver-side numpy on the sample only."""
+    rows = ds.select_columns([emb_col]).random_sample(sample, seed=seed).take_all()
+    X = _normalize(np.stack([np.asarray(r[emb_col]) for r in rows]).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def knn_ivf(
+    ds: Dataset,
+    queries: tuple[np.ndarray, np.ndarray],
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    n_probe: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF-style approximate top-k: score only vectors whose nearest
+    centroid is among each query's ``n_probe`` closest centroids.
+    ``centroids`` from train_ivf_centroids (broadcast once)."""
+    qids, Q = queries
+    if centroids is None:
+        centroids = train_ivf_centroids(ds)
+    Qn = _normalize(np.asarray(Q, dtype=np.float64))
+    q_cells = np.argsort(-(Qn @ centroids.T), axis=1)[:, :n_probe]
+    ref = ray.put((np.asarray(qids), Qn, centroids, q_cells))
+
+    class Scorer:
+        def __init__(self):
+            self.qids, self.Q, self.C, self.q_cells = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = _normalize(_stack(batch[emb_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            cell = (E @ self.C.T).argmax(axis=1)
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(cell, self.q_cells[qi])
+                if exclude_self:
+                    mask &= ids != qid
+                if not mask.any():
+                    continue
+                c = self.Q[qi] @ E[mask].T
+                kk = min(k, len(c))
+                part = np.argpartition(-c, kk - 1)[:kk]
+                out_q.append(np.full(kk, qid))
+                out_n.append(ids[mask][part])
+                out_c.append(c[part])
+            if not out_q:
+                return pa.table(
+                    {"query_id": pa.array([], type=pa.int64()),
+                     "neighbor_id": pa.array([], type=pa.int64()),
+                     "cosine": pa.array([], type=pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "neighbor_id": pa.array(np.concatenate(out_n)),
+                    "cosine": pa.array(np.concatenate(out_c)),
+                }
+            )
+
+    from modlyn_ray.util import pool_size
+
+    parts = ds.map_batches(
+        Scorer, batch_format="pyarrow", batch_size=8192,
+        concurrency=pool_size(2), zero_copy_batch=True,
+    ).to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    )
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top
+
+
 def knn_lsh(
     ds: Dataset,
     queries: tuple[np.ndarray, np.ndarray],
