@@ -154,6 +154,13 @@ def windowize(
 ) -> Dataset:
     """Per-doc windowed columns in ONE bucket-keyed shuffle.
 
+    Sizing: one bucket is processed by one task holding the bucket in
+    memory — choose ``n_buckets`` so input_bytes / n_buckets stays well
+    under a worker's heap (e.g. ~1-2 GB/bucket: 100 TB -> ~64k buckets on
+    a 256-node cluster). Heavy doc_ids get dedicated buckets via
+    ``heavy``; a single doc must fit one task (docs are never split —
+    split at session boundaries upstream if a doc exceeds worker memory).
+
     Adds, per input row (output rows = input rows, time-sorted within doc):
       - ``lag1_<c>`` / ``lead1_<c>`` for each requested column (null at
         doc/window edges)
