@@ -190,6 +190,60 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q06_union(sf_dir: str) -> pd.DataFrame:
+    """Dataset union (U-ops): customers + suppliers into one ledger,
+    aggregated per kind."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_acctbal"]).map_batches(
+        lambda b: pa.table(
+            {"kind": pa.array(["customer"] * len(b)), "acctbal": b["c_acctbal"]}
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_acctbal"]).map_batches(
+        lambda b: pa.table(
+            {"kind": pa.array(["supplier"] * len(b)), "acctbal": b["s_acctbal"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        cust.union(supp)
+        .groupby("kind")
+        .aggregate(Count(alias_name="n"), Sum("acctbal", alias_name="total_bal"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["total_bal"] = _round(out["total_bal"], 2)
+    return out
+
+
+Q06_SQL = """
+WITH ledger AS (
+  SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier)
+SELECT kind, count(*)::BIGINT AS n, round(sum(acctbal), 2) AS total_bal
+FROM ledger GROUP BY kind
+"""
+
+
+def q07_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global sort + limit (K2/K3): top 10 orders by totalprice,
+    deterministic ties by o_orderkey."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out
+
+
+Q07_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
 # ===========================================================================
 # temporal (SURVEY §2.9 W1-W4 over the events stream)
 # ===========================================================================
@@ -632,6 +686,8 @@ QUERIES = {
     "q03_revenue_by_nation": q03_revenue_by_nation,
     "q04_rare_class_filter": q04_rare_class_filter,
     "q05_distinct_parts": q05_distinct_parts,
+    "q06_union": q06_union,
+    "q07_top_orders": q07_top_orders,
     "q10_lag_lead": q10_lag_lead,
     "q11_sessionize": q11_sessionize,
     "q12_backfill": q12_backfill,
@@ -658,6 +714,8 @@ ORACLES = {
     "q03_revenue_by_nation": Q03_SQL,
     "q04_rare_class_filter": Q04_SQL,
     "q05_distinct_parts": Q05_SQL,
+    "q06_union": Q06_SQL,
+    "q07_top_orders": Q07_SQL,
     "q10_lag_lead": Q10_SQL,
     "q11_sessionize": Q11_SQL,
     "q12_backfill": Q12_SQL,
