@@ -139,3 +139,111 @@ def run_stage(
 def read_manifest(out_dir: str) -> dict:
     with open(manifest_path(out_dir)) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# per-partition (bucket-granular) resume
+# ---------------------------------------------------------------------------
+def _part_dir(out_dir: str, partition_col: str, value) -> str:
+    return os.path.join(out_dir, f"{partition_col}={value}")
+
+
+def completed_partitions(out_dir: str, partition_col: str) -> set:
+    """Partition values whose directory holds a valid manifest."""
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    prefix = f"{partition_col}="
+    for name in os.listdir(out_dir):
+        if name.startswith(prefix) and is_complete(os.path.join(out_dir, name)):
+            try:
+                done.add(int(name[len(prefix):]))
+            except ValueError:
+                done.add(name[len(prefix):])
+    return done
+
+
+def run_stage_partitioned(
+    out_dir: str,
+    stage_name: str,
+    build_for_partitions,
+    all_partitions: list,
+    partition_col: str = "bucket",
+    config: dict | None = None,
+    token_checksum: bool = False,
+):
+    """Bucket-granular checkpointed stage: recompute ONLY missing partitions.
+
+    ``build_for_partitions(missing: list) -> Dataset`` must return a
+    Dataset containing ``partition_col`` restricted to those partitions
+    (typically: bucketize the input and filter to the missing bucket set —
+    upstream reads prune before the shuffle). Each partition is written to
+    its own atomically-renamed directory with its own lineage manifest, so
+    a mid-run kill loses at most the in-flight partitions. Returns a
+    Dataset over the complete output.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import ray.data as rd
+
+    from modlyn_ray.schema import tokens_checksum as _tok_ck
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir, partition_col)
+    missing = [p for p in all_partitions if p not in done]
+    if missing:
+        ds = build_for_partitions(missing)
+        t0 = time.perf_counter()
+        tmp = os.path.join(out_dir, "_inflight.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp, partition_cols=[partition_col])
+        wall = time.perf_counter() - t0
+        prefix = f"{partition_col}="
+        for name in sorted(os.listdir(tmp)):
+            if not name.startswith(prefix):
+                continue
+            src = os.path.join(tmp, name)
+            files = _collect_file_stats(src)
+            checksum = None
+            if token_checksum:
+                checksum = 0
+                for fr in files:
+                    t = _pq.read_table(os.path.join(src, fr["path"]), columns=["tokens"])
+                    checksum = (checksum + _tok_ck(t)) % (1 << 61)
+            # per-partition manifest uses the same layout as run_stage but
+            # with data files directly under the partition dir
+            os.makedirs(os.path.join(src, "data"), exist_ok=True)
+            for fr in files:
+                os.rename(
+                    os.path.join(src, fr["path"]),
+                    os.path.join(src, "data", fr["path"].replace(os.sep, "_")),
+                )
+            files = _collect_file_stats(os.path.join(src, "data"))
+            with open(os.path.join(src, MANIFEST), "w") as f:
+                json.dump(
+                    {
+                        "stage": stage_name,
+                        "partition": name,
+                        "rows": sum(fr["rows"] for fr in files),
+                        "wall_sec": round(wall, 4),
+                        "files": files,
+                        "config": config or {},
+                        "tokens_checksum": checksum,
+                        "created_unix": time.time(),
+                    },
+                    f,
+                )
+            dst = os.path.join(out_dir, name)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    data_files = []
+    for n in sorted(os.listdir(out_dir)):
+        if n.startswith(f"{partition_col}="):
+            dd = os.path.join(out_dir, n, "data")
+            data_files.extend(
+                os.path.join(dd, f) for f in sorted(os.listdir(dd)) if f.endswith(".parquet")
+            )
+    return rd.read_parquet(data_files)
