@@ -56,11 +56,16 @@ def compute_jaccard_comparison(
         method_names.append(names[0])
     n_methods = len(method_names)
 
-    # alignment: (class, token) pairs present in every method; classes
-    # present in every method. Done distributed in the per-class pass below
-    # after a token-level filter, mirroring set.intersection (:30-32).
+    # alignment: classes present in every method, and the GLOBAL common
+    # token set across methods (the reference intersects feature columns
+    # globally — _jaccard.py:30-32 — before any per-class slicing); the
+    # per-class pivot+dropna below additionally drops tokens a method did
+    # not score for that class.
     classes_per_method = [set(ds.unique("class")) for ds in dss]
     common_classes = sorted(set.intersection(*classes_per_method))
+    token_sets = [set(ds.unique("token_id")) for ds in dss]
+    common_tokens = set.intersection(*token_sets)
+    n_genes = len(common_tokens)
 
     def per_class(group: pd.DataFrame) -> pd.DataFrame:
         cls = group["class"].iloc[0]
@@ -68,16 +73,23 @@ def compute_jaccard_comparison(
             return pd.DataFrame(
                 {"cell_line": [], "n_top": [], "method_pair": [], "jaccard": []}
             )
+        group = group[group["token_id"].isin(common_tokens)]
         # keep tokens scored by ALL methods for this class-slice's alignment
         piv = group.pivot_table(
             index="token_id", columns="method", values="score", aggfunc="first"
         )
         piv = piv.dropna(axis=0, how="any")
+        ids = piv.index.to_numpy()
         rows = []
         for n_top in n_top_values:
-            tops = {
-                m: set(piv[m].abs().nlargest(n_top).index) for m in method_names
-            }
+            # deterministic top-N: |score| desc, token_id asc on ties (the
+            # reference's nlargest ties are positional — we pin them so a
+            # SQL oracle (row_number OVER (ORDER BY abs(score) DESC,
+            # token_id)) reproduces the sets exactly)
+            tops = {}
+            for m in method_names:
+                order = np.lexsort((ids, -piv[m].abs().to_numpy()))
+                tops[m] = set(ids[order[:n_top]])
             for m1, m2 in combinations(method_names, 2):
                 inter = len(tops[m1] & tops[m2])
                 union_n = len(tops[m1] | tops[m2])
@@ -97,11 +109,9 @@ def compute_jaccard_comparison(
         .to_pandas()
     )
 
-    # G = number of commonly-scored tokens (reference: len(common_genes)).
-    # token sets per method are vocab-sized -> driver sets are fine here;
-    # for huge vocabs use a groupby(token_id).count()==n_methods aggregate.
-    token_sets = [set(ds.unique("token_id")) for ds in dss]
-    n_genes = len(set.intersection(*token_sets))
+    # G = number of commonly-scored tokens (reference: len(common_genes));
+    # computed above. Token sets per method are vocab-sized -> driver sets
+    # are fine; for huge vocabs use a groupby(token_id).count()==n_methods.
     base = []
     for n_top in n_top_values:
         rj = 1.0 if n_top >= n_genes else (2 * n_top) / (2 * n_genes - n_top)

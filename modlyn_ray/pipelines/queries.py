@@ -147,19 +147,22 @@ GROUP BY n_name
 
 
 def q04_rare_class_filter(sf_dir: str) -> pd.DataFrame:
-    """Rare-class filter (M5, quickstart:142-144): keep sources with > 25
-    docs via a broadcast semi-join, then count survivors per source."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
-    counts = ds.groupby("source").aggregate(Count(alias_name="n_docs")).to_pandas()
-    keep = set(counts[counts["n_docs"] > 25]["source"])
-    kept = counts[counts["source"].isin(keep)].copy()
+    """Rare-class filter (M5, quickstart:142-144): keep (source, lang)
+    classes holding more than 1/40th of the corpus — a dataset-relative
+    threshold so the filter is non-vacuous at every scale factor (the
+    driver runs sf0.01, the bench sf0.1)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    counts = ds.groupby(["source", "lang"]).aggregate(Count(alias_name="n_docs")).to_pandas()
+    total = counts["n_docs"].sum()
+    kept = counts[counts["n_docs"] > total / 40.0].copy()
     kept["n_docs"] = kept["n_docs"].astype(np.int64)
     return kept.reset_index(drop=True)
 
 
 Q04_SQL = """
-SELECT source, count(*)::BIGINT AS n_docs FROM documents
-GROUP BY source HAVING count(*) > 25
+SELECT source, lang, count(*)::BIGINT AS n_docs FROM documents
+GROUP BY source, lang
+HAVING count(*) > (SELECT count(*) / 40.0 FROM documents)
 """
 
 
@@ -584,12 +587,17 @@ def _synth_small():
 
 def q40_count_stats(sf_dir: str) -> pd.DataFrame:
     """Count-matrix statistics (A7) over documents-derived token sequences:
-    per-(source, token_id) count/df with crc32 token ids (vocab 4096)."""
+    per-(source, token_id) count/df. Token ids use the md5 scheme
+    (md5_number_lower(word) % 4096) so the full pipeline — tokenize ->
+    packed-key partials -> mergeable-sketch tree reduce — is verifiable
+    against a DuckDB oracle at the token-id level."""
     from modlyn_ray.stages.text import tokenize
     from modlyn_ray.stages.count_stats import count_stats
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
-    seqs = tokenize(docs, vocab=4096).select_columns(["tokens", "n_tok", "source"])
+    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
+        ["tokens", "n_tok", "source"]
+    )
     out = count_stats(seqs).to_pandas()
     out = out[["source", "token_id", "count", "df"]].copy()
     out["token_id"] = out["token_id"].astype(np.int64)
@@ -598,23 +606,74 @@ def q40_count_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-# crc32 token ids are reproduced in SQL via a word->id lookup is not
-# expressible portably; instead the oracle checks the aggregate on the WORD
-# level and maps to ids via the same crc32 in a temp macro — DuckDB lacks
-# crc32, so this query is checked on (source, word)-level counts projected
-# through the engine's own id map. Rows-only fallback: see oracle_sql().
+Q40_SQL = """
+WITH ex AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ids AS (
+  SELECT source, doc_id, (md5_number_lower(word) % 4096)::BIGINT AS token_id FROM ex)
+SELECT source, token_id, count(*)::BIGINT AS "count",
+       count(DISTINCT doc_id)::BIGINT AS df
+FROM ids GROUP BY source, token_id
+"""
 
 
 def q41_wilcoxon(sf_dir: str) -> pd.DataFrame:
-    """Wilcoxon rank-sum z-scores per (class, token) over the synthetic
-    sequences table — the scanpy rank_genes_groups(method='wilcoxon')
-    analog (A8). Rank statistics over implicit count vectors are not
-    ANSI-SQL-expressible at reasonable cost -> rows-only; numeric parity is
-    enforced by tests/test_rank_stats.py against a dense rank oracle."""
+    """Wilcoxon rank-sum z-scores per (class, token) over documents-derived
+    token sequences — the scanpy rank_genes_groups(method='wilcoxon')
+    analog (A8). The engine computes ranks from per-(class, token, value)
+    HISTOGRAMS (no global sort; zeros via class sizes); the oracle
+    recomputes average ranks with window functions over the dense
+    (token, value) histogram in SQL."""
     from modlyn_ray.stages.rank_stats import wilcoxon_scores
+    from modlyn_ray.stages.text import tokenize
 
-    d = _synth_small()
-    return wilcoxon_scores(rd.read_parquet(f"{d}/sequences")).to_pandas()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
+        ["tokens", "n_tok", "source"]
+    )
+    out = wilcoxon_scores(seqs).to_pandas()
+    out["token_id"] = out["token_id"].astype(np.int64)
+    out["score"] = _round(out["score"], 6)
+    return out[["class", "token_id", "score", "method"]]
+
+
+Q41_SQL = """
+WITH ex AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tok AS (
+  SELECT doc_id, source, (md5_number_lower(word) % 4096)::BIGINT AS token_id,
+         count(*)::DOUBLE AS v
+  FROM ex GROUP BY doc_id, source, token_id),
+classes AS (SELECT source, count(*)::DOUBLE AS n_c FROM documents GROUP BY source),
+tot AS (SELECT sum(n_c) AS n FROM classes),
+cv AS (
+  SELECT token_id, v, source, count(*)::DOUBLE AS n_cv
+  FROM tok GROUP BY token_id, v, source),
+tv AS (SELECT token_id, v, sum(n_cv) AS t_v FROM cv GROUP BY token_id, v),
+ar AS (
+  SELECT token_id, v, t_v,
+         (SELECT n FROM tot) - sum(t_v) OVER (PARTITION BY token_id) AS zeros,
+         coalesce(sum(t_v) OVER (PARTITION BY token_id ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_nz
+  FROM tv),
+ar2 AS (SELECT token_id, v, zeros, zeros + below_nz + (t_v + 1) / 2 AS avg_rank FROM ar),
+rs_nz AS (
+  SELECT cv.token_id, cv.source, sum(cv.n_cv * ar2.avg_rank) AS rs, sum(cv.n_cv) AS nnz
+  FROM cv JOIN ar2 ON cv.token_id = ar2.token_id AND cv.v = ar2.v
+  GROUP BY cv.token_id, cv.source),
+zt AS (SELECT DISTINCT token_id, zeros FROM ar2),
+allct AS (SELECT zt.token_id, c.source, c.n_c, zt.zeros FROM zt CROSS JOIN classes c),
+frs AS (
+  SELECT a.token_id, a.source, a.n_c,
+         coalesce(r.rs, 0) + (a.n_c - coalesce(r.nnz, 0)) * (a.zeros + 1) / 2 AS rank_sum
+  FROM allct a LEFT JOIN rs_nz r ON a.token_id = r.token_id AND a.source = r.source)
+SELECT source AS class, token_id,
+       round((rank_sum - n_c * ((SELECT n FROM tot) + 1) / 2)
+             / sqrt(n_c * ((SELECT n FROM tot) - n_c) * ((SELECT n FROM tot) + 1) / 12),
+             6) AS score,
+       'wilcoxon' AS method
+FROM frs
+"""
 
 
 def q50_logreg_weights(sf_dir: str) -> pd.DataFrame:
@@ -634,50 +693,205 @@ def q50_logreg_weights(sf_dir: str) -> pd.DataFrame:
 
 
 def q51_jaccard_eval(sf_dir: str) -> pd.DataFrame:
-    """CompareScores tidy output across logreg and count-stat methods over
-    the synthetic table (rows-only; semantics covered by tests/test_eval.py)."""
-    from modlyn_ray import synth
+    """CompareScores tidy output (cell_line, n_top, method_pair, jaccard incl.
+    the random-baseline rows) comparing two count-statistics scores —
+    occurrence count vs document frequency — over documents-derived tokens.
+    Both scores are integer-valued and the engine's top-N tie-break is
+    pinned to (|score| desc, token_id asc), so a DuckDB window oracle
+    reproduces the top sets exactly. Baseline rows carry cell_line
+    '__baseline__' (the reference uses null; pinned for hash-stable
+    comparison). The logreg-vs-count comparison (iterative SGD) stays in
+    tests/test_eval.py."""
     from modlyn_ray.eval.jaccard import compute_jaccard_comparison
     from modlyn_ray.stages.count_stats import count_stats
-    from modlyn_ray.stages.logreg import LogRegConfig, fit_logreg
+    from modlyn_ray.stages.text import tokenize
 
-    d = _synth_small()
-    ds = rd.read_parquet(f"{d}/sequences")
-    model = fit_logreg(
-        ds, LogRegConfig(vocab=synth.SMALL.vocab, batch_size=256, max_steps=50)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
+        ["tokens", "n_tok", "source"]
     )
-    tall_lr = (
-        model.weights_tall()
-        .select(["class", "token_id", "weight", "method"])
-        .rename_columns(["class", "token_id", "score", "method"])
+    cs = count_stats(seqs).materialize()  # feeds two tall frames below
+
+    def tall(score_col: str, method: str):
+        return cs.map_batches(
+            lambda b, sc=score_col, m=method: pa.table(
+                {
+                    "class": b["source"],
+                    "token_id": b["token_id"],
+                    "score": b[sc].cast(pa.float64()),
+                    "method": pa.array([m] * len(b)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    res = compute_jaccard_comparison(
+        [tall("count", "count"), tall("df", "df")], n_top_values=[25, 50, 100, 200]
     )
-    cs = count_stats(ds)
-    tall_cs = cs.map_batches(
-        lambda b: pa.table(
-            {
-                "class": b["source"],
-                "token_id": b["token_id"],
-                "score": b["f_score"],
-                "method": pa.array(["count_f"] * len(b)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    return compute_jaccard_comparison([tall_lr, tall_cs], n_top_values=[25, 50, 100, 200])
+    res = res.copy()
+    res["cell_line"] = res["cell_line"].fillna("__baseline__")
+    res["n_top"] = res["n_top"].astype(np.int64)
+    res["jaccard"] = _round(res["jaccard"], 6)
+    return res
+
+
+Q51_SQL = """
+WITH ex AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ids AS (
+  SELECT source, doc_id, (md5_number_lower(word) % 4096)::BIGINT AS token_id FROM ex),
+cs AS (
+  SELECT source AS class, token_id, count(*)::DOUBLE AS cnt,
+         count(DISTINCT doc_id)::DOUBLE AS df
+  FROM ids GROUP BY class, token_id),
+scores AS (
+  SELECT class, token_id, 'count' AS method, cnt AS score FROM cs
+  UNION ALL
+  SELECT class, token_id, 'df' AS method, df AS score FROM cs),
+ranked AS (
+  SELECT class, token_id, method,
+         row_number() OVER (PARTITION BY class, method
+                            ORDER BY abs(score) DESC, token_id) AS rn
+  FROM scores),
+ntops AS (SELECT unnest([25, 50, 100, 200]) AS n_top),
+tops AS (
+  SELECT class, token_id, method, n_top
+  FROM ranked CROSS JOIN ntops WHERE rn <= n_top),
+tcount AS (
+  SELECT class, n_top,
+         count(*) FILTER (WHERE method = 'count') AS ka,
+         count(*) FILTER (WHERE method = 'df') AS kb
+  FROM tops GROUP BY class, n_top),
+inter AS (
+  SELECT class, n_top, count(*)::DOUBLE AS i
+  FROM (SELECT class, n_top, token_id FROM tops
+        GROUP BY class, n_top, token_id HAVING count(*) = 2)
+  GROUP BY class, n_top),
+g AS (SELECT count(DISTINCT token_id)::DOUBLE AS n_genes FROM cs)
+SELECT t.class AS cell_line, t.n_top::BIGINT AS n_top,
+       'count↔df' AS method_pair,
+       round(coalesce(i.i, 0) / (t.ka + t.kb - coalesce(i.i, 0)), 6) AS jaccard
+FROM tcount t LEFT JOIN inter i ON t.class = i.class AND t.n_top = i.n_top
+UNION ALL
+SELECT '__baseline__', n_top::BIGINT, 'Random baseline',
+       round(CASE WHEN n_top >= (SELECT n_genes FROM g) THEN 1.0
+                  ELSE (2.0 * n_top) / (2.0 * (SELECT n_genes FROM g) - n_top) END, 6)
+FROM ntops
+"""
 
 
 def q52_pit_features(sf_dir: str) -> pd.DataFrame:
-    """Flagship point-in-time features over the synthetic sequences +
-    doc_attrs (rows-only; parity covered by tests/test_pipeline.py)."""
+    """Flagship point-in-time pipeline (pit_features: fused windowize +
+    as-of in ONE crc32(doc_id)-bucket shuffle) over an events-derived
+    sequences contract, so every emitted feature — sessionization with
+    gap + source-change breaks, inclusive prefix sums (cum_n_tok /
+    cum_row_mix), lag/lead, and the backward as-of merge against the
+    purchase timeline — is reproducible as DuckDB window SQL. Entity =
+    user_id, event time = ts, source = event_type, tokens = [event_id %
+    2^20] (single-token rows: exact integer row_mix both sides). The
+    synthetic-corpus flagship run stays covered by tests/test_pipeline.py
+    and bench.py."""
     from modlyn_ray.pipelines.flagship import pit_features
 
-    d = _synth_small()
-    out = pit_features(
-        rd.read_parquet(f"{d}/sequences"),
-        rd.read_parquet(f"{d}/doc_attrs.parquet"),
-        n_buckets=32,
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def contract(b: pa.Table) -> pa.Table:
+        n = len(b)
+        eid = b["event_id"]
+        if isinstance(eid, pa.ChunkedArray):
+            eid = eid.combine_chunks()
+        tok = (eid.to_numpy(zero_copy_only=False) % 1048576).astype(np.int32)
+        toks = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), pa.array(tok)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["user_id"], pa.string()),
+                "tokens": toks,
+                "n_tok": pa.array(np.ones(n, dtype=np.int32)),
+                "source": b["event_type"],
+                "ingest_ts": b["ts"],
+                "seq_no": b["event_id"],
+            }
+        )
+
+    seqs = ev.map_batches(contract, batch_format="pyarrow", zero_copy_batch=True)
+
+    purch = ev.filter(expr="event_type == 'purchase'")
+
+    def dedupe_right(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "ts"], as_index=False)["value"].max()
+
+    attrs = (
+        purch.groupby("user_id")
+        .map_groups(dedupe_right, batch_format="pandas")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b["user_id"], pa.string()),
+                    "ingest_ts": b["ts"],
+                    "attr_val": b["value"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
-    return out.drop_columns(["tokens"]).to_pandas()
+    out = pit_features(
+        seqs,
+        attrs,
+        n_buckets=32,
+        detect_skew=False,
+        session_gap_us=SESSION_GAP_30M_US,
+    )
+    df = out.drop_columns(["tokens"]).to_pandas()
+    res = pd.DataFrame(
+        {
+            "event_id": df["seq_no"].astype(np.int64),
+            "session_id": df["session_id"].astype(np.int64),
+            "lag1_n_tok": df["lag1_n_tok"].astype(np.float64),
+            "lead1_n_tok": df["lead1_n_tok"].astype(np.float64),
+            "cum_n_tok": df["cum_n_tok"].astype(np.float64),
+            "cum_row_mix": df["cum_row_mix"].astype(np.float64),
+            "attr_val_asof": df["attr_val_asof"].astype(np.float64),
+            "matched_asof_ts": df["matched_asof_ts"],
+        }
+    )
+    return res
+
+
+Q52_SQL = """
+WITH mix AS (
+  SELECT event_id, user_id, ts, event_type,
+         ((event_id % 1048576) * 2654435761) % 2147483648 AS row_mix
+  FROM events),
+w AS (
+  SELECT event_id, user_id, ts, event_type, row_mix,
+         lag(ts) OVER uw AS prev_ts,
+         lag(event_type) OVER uw AS prev_type,
+         CASE WHEN lag(event_id) OVER uw IS NULL THEN NULL ELSE 1 END AS lag1_n_tok,
+         CASE WHEN lead(event_id) OVER uw IS NULL THEN NULL ELSE 1 END AS lead1_n_tok,
+         count(*) OVER uwr AS cum_n,
+         sum(row_mix) OVER uwr AS cum_mix
+  FROM mix
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id),
+         uwr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+sess AS (
+  SELECT *,
+         (sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                        OR event_type <> prev_type THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) - 1) AS session_id
+  FROM w),
+purch AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT s.event_id, s.session_id::BIGINT AS session_id,
+       s.lag1_n_tok::DOUBLE AS lag1_n_tok, s.lead1_n_tok::DOUBLE AS lead1_n_tok,
+       s.cum_n::DOUBLE AS cum_n_tok, s.cum_mix::DOUBLE AS cum_row_mix,
+       p.value AS attr_val_asof, p.ts AS matched_asof_ts
+FROM sess s ASOF LEFT JOIN purch p
+  ON s.user_id = p.user_id AND s.ts >= p.ts
+"""
 
 
 QUERIES = {
@@ -729,7 +943,11 @@ ORACLES = {
     "q24_fingerprint": Q24_SQL,
     "q30_ann_topk": Q30_SQL,
     "q31_embedding_dedup": Q31_SQL,
-    # q40/q50/q51/q52: non-SQL-expressible (crc32 ids / iterative SGD /
-    # method comparison / PIT flagship) -> rows-only driver checks; numeric
-    # parity is enforced by the in-repo golden tests instead.
+    "q40_count_stats": Q40_SQL,
+    "q41_wilcoxon": Q41_SQL,
+    "q51_jaccard_eval": Q51_SQL,
+    "q52_pit_features": Q52_SQL,
+    # q50 (iterative minibatch SGD) is the one genuinely non-SQL-expressible
+    # pipeline -> rows-only driver check; numeric parity is enforced by
+    # tests/test_logreg.py against the deterministic numpy oracle.
 }

@@ -10,11 +10,15 @@ class (stopword tables built once per actor — SURVEY guide pattern).
 Determinism contract: tokenization is a single-space split (mirrors the
 DuckDB oracle ``string_split(text, ' ')`` exactly, including empty tokens
 from repeated spaces); token ids for the sequences contract are
-crc32(word) % vocab (process-stable).
+crc32(word) % vocab (process-stable), or — with ``id_scheme="md5"`` —
+``md5_number_lower(word) % vocab``, bit-identical to DuckDB's
+``md5_number_lower`` (= little-endian int of md5-digest bytes [8:16]), so
+token ids are fully reproducible inside an ANSI-SQL oracle.
 """
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -42,12 +46,25 @@ def split_words(batch: pa.Table, text_col: str = "text") -> pa.ListArray:
     return pc.split_pattern(col, " ")
 
 
+def _word_id(word: str, vocab: int, scheme: str) -> int:
+    if scheme == "md5":
+        # == DuckDB md5_number_lower(word) % vocab (bytes [8:16], little-endian)
+        return int.from_bytes(hashlib.md5(word.encode()).digest()[8:16], "little") % vocab
+    return zlib.crc32(word.encode()) % vocab
+
+
 def tokenize(
-    ds: Dataset, text_col: str = "text", vocab: int | None = None
+    ds: Dataset,
+    text_col: str = "text",
+    vocab: int | None = None,
+    id_scheme: str = "crc32",
 ) -> Dataset:
     """Add ``words`` (list<string>) + ``n_words``; with ``vocab`` also add
-    ``tokens`` (list<int32> of crc32(word) % vocab) + ``n_tok`` — producing
-    the engine's sequences contract from raw text."""
+    ``tokens`` (list<int32>) + ``n_tok`` — producing the engine's sequences
+    contract from raw text. ``id_scheme``: "crc32" (default) or "md5"
+    (SQL-oracle-reproducible, see module docstring). The id map is built per
+    batch over UNIQUE words only (dictionary-encode first), so the Python
+    hash calls are O(distinct words), never O(tokens)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         words = split_words(batch, text_col)
@@ -56,7 +73,7 @@ def tokenize(
         if vocab is not None:
             flat = words.flatten()
             uniq = pc.unique(flat)
-            lut = {u: zlib.crc32(u.encode()) % vocab for u in uniq.to_pylist()}
+            lut = {u: _word_id(u, vocab, id_scheme) for u in uniq.to_pylist()}
             dic = flat.dictionary_encode()
             codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             mapped = np.array(
