@@ -225,13 +225,14 @@ def knn_lsh(
     planes = rng.standard_normal((dim, n_planes))
     Qn = _normalize(np.asarray(Q, dtype=np.float64))
     qsig = (Qn @ planes > 0).astype(np.int64) @ (1 << np.arange(n_planes))
-    # admissible buckets per query (exact + hamming<=probe neighbors)
-    admissible: list[set[int]] = []
+    # admissible buckets per query (exact + hamming<=probe neighbors),
+    # as sorted int arrays so the per-batch membership test is np.isin
+    admissible: list[np.ndarray] = []
     for s in qsig:
         cur = {int(s)}
         if probe_hamming >= 1:
             cur |= {int(s) ^ (1 << b) for b in range(n_planes)}
-        admissible.append(cur)
+        admissible.append(np.array(sorted(cur), dtype=np.int64))
     q_ref = ray.put((np.asarray(qids), Qn, planes, admissible))
 
     class Scorer:
@@ -244,7 +245,7 @@ def knn_lsh(
             sig = (E @ self.planes > 0).astype(np.int64) @ (1 << np.arange(self.planes.shape[1]))
             out_q, out_n, out_c = [], [], []
             for qi, qid in enumerate(self.qids):
-                mask = np.fromiter((int(s) in self.adm[qi] for s in sig), dtype=bool, count=len(sig))
+                mask = np.isin(sig, self.adm[qi])
                 if exclude_self:
                     mask &= ids != qid
                 if not mask.any():

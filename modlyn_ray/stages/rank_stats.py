@@ -128,49 +128,53 @@ def wilcoxon_scores(
 
     cls, tok, val, occ = cls[~sent_mask], tok[~sent_mask], val[~sent_mask], occ[~sent_mask]
 
-    # per token: histograms over (value, class). sort by (token, value)
-    order = np.lexsort((val, tok))
-    cls, tok, val, occ = cls[order], tok[order], val[order], occ[order]
-    tokens_u, tok_start = np.unique(tok, return_index=True)
-    tok_end = np.r_[tok_start[1:], len(tok)]
-
-    out_cls, out_tok, out_z = [], [], []
+    # Fully vectorized finalize (no per-token Python loop — sublinear driver
+    # cost even at vocab 10^6): everything is segment ops over the global
+    # (token, value[, class]) arrays.
     mu = n_c * (N + 1) / 2.0
     base_sigma2 = n_c * (N - n_c) * (N + 1) / 12.0
-    for j, (s, e) in enumerate(zip(tok_start, tok_end)):
-        vj = val[s:e]
-        cj = cls[s:e]
-        oj = occ[s:e]
-        # collapse to per-value totals (classes share value bins)
-        v_u, v_inv = np.unique(vj, return_inverse=True)
-        t_v = np.bincount(v_inv, weights=oj)  # ties per nonzero value
-        nz_total = t_v.sum()
-        zeros = N - nz_total  # sequences with value 0
-        # average ranks: zeros first, then ascending values
-        below = np.r_[0.0, np.cumsum(t_v)][:-1] + zeros
-        avg_rank_v = below + (t_v + 1) / 2.0
-        avg_rank_zero = (zeros + 1) / 2.0
-        # per-class rank sums
-        rs = np.zeros(K)
-        np.add.at(rs, cj, oj * avg_rank_v[v_inv])
-        zero_per_class = n_c - np.bincount(cj, weights=oj, minlength=K)
-        rs += zero_per_class * avg_rank_zero
-        sigma2 = base_sigma2.copy()
-        if tie_correct and N > 1:
-            ties = np.r_[t_v, zeros]
-            corr = 1.0 - (ties**3 - ties).sum() / (N**3 - N)
-            sigma2 = sigma2 * corr
-        z = np.divide(
-            rs - mu, np.sqrt(np.maximum(sigma2, 1e-300)),
-            out=np.zeros(K), where=sigma2 > 0,
-        )
-        out_cls.append(np.arange(K))
-        out_tok.append(np.full(K, tokens_u[j]))
-        out_z.append(z)
 
-    cls_a = np.concatenate(out_cls) if out_cls else np.array([], dtype=np.int64)
-    tok_a = np.concatenate(out_tok) if out_tok else np.array([], dtype=np.int64)
-    z_a = np.concatenate(out_z) if out_z else np.array([])
+    # 1) collapse (token, value) across classes -> tie totals t_v
+    tv_key = (tok << _VBITS) | val
+    tv_u, tv_inv = np.unique(tv_key, return_inverse=True)
+    t_v = np.bincount(tv_inv, weights=occ)
+    tv_tok = tv_u >> _VBITS  # token of each unique (token, value) bin
+
+    # 2) per-token segments over the value-sorted unique bins
+    tokens_u, tok_of_tv, tv_per_tok = np.unique(
+        tv_tok, return_inverse=True, return_counts=True
+    )
+    T = len(tokens_u)
+    seg_start = np.r_[0, np.cumsum(tv_per_tok)][:-1]
+    csum = np.cumsum(t_v)
+    nz_total = np.add.reduceat(t_v, seg_start)  # nonzero mass per token
+    zeros_t = N - nz_total  # sequences with value 0, per token
+    # exclusive within-segment cumsum: global cumsum minus segment offset
+    seg_offset = np.r_[0.0, csum][seg_start]  # (T,) cumsum before each segment
+    below = (csum - t_v - seg_offset[tok_of_tv]) + zeros_t[tok_of_tv]
+    avg_rank_v = below + (t_v + 1) / 2.0  # avg rank of each (token, value)
+    avg_rank_zero = (zeros_t + 1) / 2.0  # avg rank of the zero bin per token
+
+    # 3) per-(class, token) rank sums over nonzero bins
+    tok_rank = tok_of_tv[tv_inv]  # dense token index per input row
+    ct_flat = cls * T + tok_rank
+    rs_nz = np.bincount(ct_flat, weights=occ * avg_rank_v[tv_inv], minlength=K * T)
+    nnz = np.bincount(ct_flat, weights=occ, minlength=K * T)
+    rs = rs_nz.reshape(K, T) + (n_c[:, None] - nnz.reshape(K, T)) * avg_rank_zero[None, :]
+
+    sigma2 = np.broadcast_to(base_sigma2[:, None], (K, T)).copy()
+    if tie_correct and N > 1:
+        tie_sum = np.add.reduceat(t_v**3 - t_v, seg_start) + (zeros_t**3 - zeros_t)
+        corr = 1.0 - tie_sum / (N**3 - N)
+        sigma2 *= corr[None, :]
+    z = np.divide(
+        rs - mu[:, None], np.sqrt(np.maximum(sigma2, 1e-300)),
+        out=np.zeros((K, T)), where=sigma2 > 0,
+    )
+
+    cls_a = np.repeat(np.arange(K), T)
+    tok_a = np.tile(tokens_u, K)
+    z_a = z.ravel()
     names = np.asarray(classes, dtype=object)
     return pa.table(
         {

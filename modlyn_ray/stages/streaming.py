@@ -37,28 +37,64 @@ class SessionActor:
 
     def process(self, batch: pa.Table) -> pa.Table:
         """Batch rows MUST arrive in (key, ts) order across calls (the
-        ordered-log contract). Returns the batch + session_id."""
-        keys = batch["doc_id"].to_pylist()
+        ordered-log contract). Returns the batch + session_id.
+
+        Vectorized: in-batch breaks (time gap / source change) are numpy
+        segment ops; the carried state is consulted only at SEGMENT HEADS
+        (one per distinct key per batch) and updated from segment tails —
+        O(rows) numpy + O(distinct keys) Python, never per-row Python."""
+        n = len(batch)
+        if n == 0:
+            return batch.append_column("session_id", pa.array(np.array([], np.int64)))
+        kcol = batch["doc_id"]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kdic = kcol.dictionary_encode()
+        codes = kdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kvals = kdic.dictionary.to_pylist()
         ts = (
             batch["ingest_ts"].combine_chunks()
             .to_numpy(zero_copy_only=False)
             .astype("datetime64[us]")
             .view(np.int64)
         )
-        sources = (
-            batch["source"].to_pylist() if "source" in batch.column_names else [None] * len(keys)
-        )
-        out = np.empty(len(keys), dtype=np.int64)
-        for i, (k, t, s) in enumerate(zip(keys, ts, sources)):
+        if "source" in batch.column_names:
+            scol = batch["source"]
+            if isinstance(scol, pa.ChunkedArray):
+                scol = scol.combine_chunks()
+            sdic = scol.dictionary_encode()
+            scodes = sdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            svals = sdic.dictionary.to_pylist()
+        else:
+            scodes = np.zeros(n, dtype=np.int64)
+            svals = [None]
+
+        new_seg = np.r_[True, codes[1:] != codes[:-1]]
+        brk = np.r_[False, (ts[1:] - ts[:-1]) > self.gap_us]
+        if self.on_source_change:
+            brk |= np.r_[False, scodes[1:] != scodes[:-1]]
+        brk &= ~new_seg  # head rows handled against carried state below
+
+        seg_starts = np.flatnonzero(new_seg)
+        base = np.empty(len(seg_starts), dtype=np.int64)
+        for j, s in enumerate(seg_starts):
+            k = kvals[codes[s]]
             prev = self.state.get(k)
             if prev is None:
-                sid = 0
+                base[j] = 0
             else:
                 lt, ls, sid = prev
-                if (t - lt > self.gap_us) or (self.on_source_change and s != ls):
-                    sid += 1
-            self.state[k] = (int(t), s, sid)
-            out[i] = sid
+                inc = (ts[s] - lt > self.gap_us) or (
+                    self.on_source_change and svals[scodes[s]] != ls
+                )
+                base[j] = sid + (1 if inc else 0)
+        cum = np.cumsum(brk)
+        seg_of = np.cumsum(new_seg) - 1
+        out = base[seg_of] + (cum - cum[seg_starts][seg_of])
+
+        seg_ends = np.r_[seg_starts[1:], n] - 1
+        for j, e in enumerate(seg_ends):
+            self.state[kvals[codes[e]]] = (int(ts[e]), svals[scodes[e]], int(out[e]))
         return batch.append_column("session_id", pa.array(out))
 
     def get_state(self) -> dict:
@@ -85,16 +121,25 @@ def process_ordered_stream(
     ]
     futures = []
     for batch in batches:
-        keys = batch[key].to_pylist()
-        owner = np.array([zlib.crc32(str(k).encode()) % n_actors for k in keys])
-        parts = []
+        kcol = batch[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kdic = kcol.dictionary_encode()
+        codes = kdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        owner_of_unique = np.array(
+            [zlib.crc32(str(k).encode()) % n_actors for k in kdic.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        owner = owner_of_unique[codes]
         for a in range(n_actors):
             mask = owner == a
             if mask.any():
-                parts.append(actors[a].process.remote(batch.filter(pa.array(mask))))
-        # barrier per stream batch: ordering within each key must be kept
-        futures.extend(ray.get(parts))
-    out = pa.concat_tables(futures) if futures else None
+                futures.append(actors[a].process.remote(batch.filter(pa.array(mask))))
+        # NO per-batch driver barrier: Ray executes an actor's tasks in
+        # submission order, so each key's timeline (owned by exactly one
+        # actor) is processed in stream order; the stream pipelines freely.
+    results = ray.get(futures)
+    out = pa.concat_tables(results) if results else None
     states_out = ray.get([a.get_state.remote() for a in actors])
     for a in actors:
         ray.kill(a)
