@@ -80,32 +80,37 @@ class SimpleLogReg:
         batch_size: int = 256,
         dataset_type: str = "parquet",
         strategy: str = "golden",
+        val_fraction: float = 0.0,
+        val_data: Dataset | None = None,
         **_kwargs,
     ) -> "SimpleLogReg":
         """Train. ``dataset_type`` aliases are normalized exactly like the
         reference's backend aliases (_simple_logreg_model.py:141-150; the
         behavior tested at tests/test_dataset_type_alias.py:54,62-63).
         ``strategy``: 'golden' = deterministic minibatch schedule;
-        'fullbatch' = synchronous cluster-wide full-gradient steps."""
+        'fullbatch' = synchronous cluster-wide full-gradient steps.
+        Validation (the reference datamodule's train/val loaders +
+        per-epoch val loss/F1, _simple_logreg_datamodule.py:174-200,
+        _simple_logreg_model.py:88-103): pass ``val_data`` explicitly or
+        ``val_fraction`` for a deterministic hash split; per-epoch metrics
+        land in ``self.model.val_history``. The label encoder is fit on
+        the TRAIN side only."""
         # normalized backend recorded like the reference's
         # model.datamodule.dataset_type (test_dataset_type_alias.py:62-63)
         self.dataset_type = normalize_reader(dataset_type)
         self.config.max_epochs = max_epochs
         self.config.max_steps = max_steps
         self.config.batch_size = batch_size
-        if self.label_column != "source":
-            ds = self.ds.map_batches(
-                lambda b, c=self.label_column: b.rename_columns(
-                    [("source" if n == c else n) for n in b.column_names]
-                ),
-                batch_format="pyarrow",
-            )
-        else:
-            ds = self.ds
+        ds = self._relabeled(self.ds)
+        val_ds = self._relabeled(val_data) if val_data is not None else None
+        if val_ds is None and val_fraction > 0:
+            from modlyn_ray.stages.logreg import split_train_val
+
+            ds, val_ds = split_train_val(ds, val_fraction)
         if strategy == "fullbatch":
             self.model = fit_logreg_fullbatch(ds, self.config, steps=max_steps)
         else:
-            self.model = fit_logreg(ds, self.config)
+            self.model = fit_logreg(ds, self.config, val_ds=val_ds)
         return self
 
     def get_weights(self) -> pd.DataFrame:
@@ -121,12 +126,31 @@ class SimpleLogReg:
             raise RuntimeError("call fit() first")
         return self.model.weights_tall()
 
+    def _relabeled(self, ds: Dataset) -> Dataset:
+        """Normalize ``label_column`` to the engine's canonical 'source'
+        column. A pre-existing unrelated 'source' column is dropped first
+        (renaming over it would create duplicate column names)."""
+        if self.label_column == "source":
+            return ds
+
+        def fix(b, c=self.label_column):
+            if "source" in b.column_names:
+                b = b.drop_columns(["source"])
+            return b.rename_columns(
+                [("source" if n == c else n) for n in b.column_names]
+            )
+
+        return ds.map_batches(fix, batch_format="pyarrow")
+
     def evaluate(self, ds: Dataset | None = None) -> dict:
         """Accuracy / macro + weighted F1 / per-class P-R-F1 on a dataset
-        (train encoder reused — never refit)."""
+        (train encoder reused — never refit). Works with any
+        ``label_column`` — the same rename applied at fit() time is applied
+        here (ADVICE r1: evaluate() used to crash when label_column !=
+        'source')."""
         if self.model is None:
             raise RuntimeError("call fit() first")
-        scored = predict(ds or self.ds, self.model)
+        scored = predict(self._relabeled(ds if ds is not None else self.ds), self.model)
         cm = confusion_matrix(scored, self.model.classes)
         return classification_metrics(cm, self.model.classes)
 
@@ -148,6 +172,38 @@ class CompareScores:
         frames = {df.attrs["method_name"]: df for df in self.dataframes}
         self.results_df = oracle.jaccard_comparison(frames, self.n_top_values)
         return self.results_df
+
+    def jaccard_grouped_means(self) -> pd.DataFrame:
+        """The data product behind the reference's plot_jaccard_comparison
+        (/root/reference/modlyn/eval/_jaccard.py:92-96): mean jaccard per
+        (n_top, method_pair), pairs as columns. The engine emits the table
+        instead of the matplotlib figure (SURVEY §2.1 S7)."""
+        if self.results_df is None:
+            self.compute_jaccard_comparison()
+        return (
+            self.results_df.groupby(["n_top", "method_pair"])["jaccard"]
+            .mean()
+            .unstack()
+        )
+
+    def write_artifacts(self, out_dir: str) -> dict:
+        """Persist the eval data products as Parquet (the S7 sink surface):
+        ``results.parquet`` (tidy frame) + ``grouped_means.parquet``
+        (plot_jaccard_comparison table, n_top as a column)."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        if self.results_df is None:
+            self.compute_jaccard_comparison()
+        paths = {
+            "results": os.path.join(out_dir, "results.parquet"),
+            "grouped_means": os.path.join(out_dir, "grouped_means.parquet"),
+        }
+        self.results_df.to_parquet(paths["results"], index=False)
+        self.jaccard_grouped_means().reset_index().to_parquet(
+            paths["grouped_means"], index=False
+        )
+        return paths
 
     def compute_jaccard_comparison_distributed(self) -> pd.DataFrame:
         """Same semantics over tall Datasets (for vocab sizes where wide

@@ -76,7 +76,9 @@ def exact_dedup(
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
     if keep_cols:
         hashed = hashed.select_columns(list({*keep_cols, col, id_col, "__h"}))
-    out = hashed.groupby("__h").map_groups(first_per_value, batch_format="pandas")
+    # group count = distinct values — bucket it (Ray pays ~ms per group in
+    # map_groups; first_per_value is vectorized across a bucket's groups)
+    out = _bucketed_groups(hashed, ["__h"], first_per_value, n_buckets=32)
     return out.drop_columns(["__h"])
 
 
@@ -103,18 +105,195 @@ def minhash_signatures(
     texts: list[str], num_perm: int = 64, ngram: int = 3, seed: int = 1
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 signatures; sig[p] = min over shingles of
-    (a_p * h + b_p mod M) — vectorized per doc."""
+    the multiply-shift permutation  v = (a_p * h + b_p) mod 2^64.
+
+    Hash family rationale (ADVICE r1): with ODD a_p, x -> a_p*x + b_p mod
+    2^64 is a BIJECTION of Z_2^64 whose ordering scrambles the crc32
+    inputs (multiply-shift hashing); the wrap-around IS the mod. The naive
+    "overflow-free" alternative (small a, mod Mersenne) is monotone in h
+    whenever a*h never wraps — every permutation then picks the same min
+    shingle and LSH recall collapses (observed: 1/16 band agreement at
+    J=0.89 instead of the expected ~10/16)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    a = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
     sigs = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, h in enumerate(_word_shingle_hashes(texts, ngram)):
-        if len(h) == 0:
-            continue
-        # (S, P): (a*h + b) mod M with python-int safety via float-free mod
-        vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE)
-        sigs[i] = vals.min(axis=0)
+    with np.errstate(over="ignore"):
+        for i, h in enumerate(_word_shingle_hashes(texts, ngram)):
+            if len(h) == 0:
+                continue
+            vals = h[:, None] * a[None, :] + b[None, :]  # wraps mod 2^64
+            sigs[i] = vals.min(axis=0)
     return sigs
+
+
+def _attach_payload(
+    pairs: Dataset,
+    payload: Dataset,
+    pair_key: str,
+    payload_key: str,
+    payload_cols: list[str],
+    out_names: list[str],
+    n_buckets: int = 64,
+) -> Dataset:
+    """Distributed equi-join of a pairs Dataset against a (key, payload)
+    Dataset via the engine's union + groupby(bucket) pattern (same ONE
+    shuffle used by asof_join — no driver materialization). Pair rows keep
+    all their columns and gain ``out_names`` = payload columns of the row
+    whose ``payload_key`` equals the pair's ``pair_key``. Inner-join
+    semantics: pairs whose key is absent from payload are dropped."""
+    from modlyn_ray.stages.temporal import add_bucket_column
+
+    pair_schema = pairs.schema()
+    pair_cols = list(pair_schema.names)
+    pair_types = dict(zip(pair_schema.names, pair_schema.types))
+    pay_schema = payload.schema()
+    pay_types = {
+        c: pay_schema.types[pay_schema.names.index(c)] for c in payload_cols
+    }
+
+    def pad_pairs(b: pa.Table) -> pa.Table:
+        b = b.append_column("__key", b[pair_key])
+        for c, o in zip(payload_cols, out_names):
+            b = b.append_column(o, pa.nulls(len(b), pay_types[c]))
+        return b.append_column("__side", pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    def pad_payload(b: pa.Table) -> pa.Table:
+        n = len(b)
+        cols = {"__key": b[payload_key]}
+        for c in pair_cols:
+            cols[c] = pa.nulls(n, pair_types[c])
+        for c, o in zip(payload_cols, out_names):
+            cols[o] = b[c]
+        t = pa.table(cols)
+        return t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+
+    p_aug = pairs.map_batches(pad_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    y_aug = payload.map_batches(pad_payload, batch_format="pyarrow", zero_copy_batch=True)
+    both = add_bucket_column(p_aug.union(y_aug), key="__key", n_buckets=n_buckets)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        ptbl = g.filter(pa.array(side == 0))
+        ytbl = g.filter(pa.array(side == 1))
+        if len(ptbl) == 0:
+            return ptbl.drop_columns(["__side", "bucket", "__key"])
+        # index payload rows by key, take per pair row (vectorized)
+        ykeys = ytbl["__key"].combine_chunks()
+        pkeys = ptbl["__key"].combine_chunks()
+        idx = pc.index_in(pkeys, value_set=ykeys)
+        hit = pc.is_valid(idx)
+        ptbl = ptbl.filter(hit)
+        idx = idx.filter(hit)
+        out = ptbl.drop_columns(["__side", "bucket", "__key", *out_names])
+        for c, o in zip(payload_cols, out_names):
+            ycol = ytbl[o].combine_chunks() if isinstance(ytbl[o], pa.ChunkedArray) else ytbl[o]
+            out = out.append_column(o, ycol.take(idx))
+        return out
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def _as_arrow_blocks(ds: Dataset) -> Dataset:
+    """Normalize block format to Arrow (pandas map_groups emits pandas
+    blocks; union of mixed block types breaks downstream groupbys)."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bucketed_groups(
+    ds: Dataset, key_cols: list[str], kernel, n_buckets: int = 32
+) -> Dataset:
+    """Hash-bucket rows by ``key_cols`` and run ONE vectorized pandas
+    ``kernel`` per bucket. Ray Data's per-group map_groups / aggregate pays
+    ~ms of overhead PER GROUP — pathological beyond ~10^4 distinct keys
+    (measured: 50s for a 20k-group Min aggregate). Bucketing keeps every
+    key group complete inside one bucket while bounding the group count at
+    ``n_buckets``; the kernel does its own (vectorized) per-key work."""
+
+    def add_bkt(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(b.select(key_cols)).hash_rows(seed=0).to_numpy()
+        return b.append_column("__bkt", pa.array((h % n_buckets).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.drop(columns="__bkt"))
+
+    return (
+        ds.map_batches(add_bkt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _propagate_min_labels(
+    edges: Dataset, max_iters: int = 12, n_buckets: int = 32
+) -> Dataset:
+    """Connected components by iterative min-label propagation, entirely as
+    Dataset ops (the driver holds only the per-round change COUNT, never
+    the edge or label sets). ``edges``: (a, b) verified pairs. Returns
+    (id, cluster_id) for every id that appears in an edge."""
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"u": b["a"], "v": b["b"]}),
+                pa.table({"u": b["b"], "v": b["a"]}),
+            ]
+        )
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # initial labels: own id
+    labels = _as_arrow_blocks(
+        _bucketed_groups(
+            edges_sym.map_batches(
+                lambda b: pa.table({"id": b["u"], "lab": b["u"]}), batch_format="pyarrow"
+            ),
+            ["id"],
+            lambda df: df.drop_duplicates("id"),
+            n_buckets=n_buckets,
+        )
+    ).materialize()
+
+    for _ in range(max_iters):
+        # candidate labels for v: label of each neighbor u (join labels on u)
+        cand = _attach_payload(
+            edges_sym, labels, pair_key="u", payload_key="id",
+            payload_cols=["lab"], out_names=["nlab"], n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pa.table({"id": b["v"], "lab": b["nlab"]}), batch_format="pyarrow"
+        )
+
+        def min_lab(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("id", as_index=False)["lab"].min()
+
+        new_labels = _as_arrow_blocks(
+            _bucketed_groups(
+                _as_arrow_blocks(labels.union(_as_arrow_blocks(cand))),
+                ["id"], min_lab, n_buckets=n_buckets,
+            )
+        ).materialize()
+
+        # change count: ids whose (old, new) labels differ — one tiny aggregate
+        tagged = labels.map_batches(
+            lambda b: pa.table({"id": b["id"], "lab": b["lab"]}), batch_format="pyarrow"
+        ).union(new_labels)
+
+        def n_changed(df: pd.DataFrame) -> pd.DataFrame:
+            per_id = df.groupby("id")["lab"].nunique()
+            return pd.DataFrame({"c": [int((per_id > 1).sum())]})
+
+        changed = _bucketed_groups(tagged, ["id"], n_changed, n_buckets=n_buckets).sum(
+            "c"
+        )  # distributed scalar reduce — the driver sees ONE number
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda b: pa.table({"id": b["id"], "cluster_id": b["lab"]}),
+        batch_format="pyarrow",
+    )
 
 
 def minhash_lsh_dedup(
@@ -126,14 +305,21 @@ def minhash_lsh_dedup(
     ngram: int = 3,
     jaccard_threshold: float = 0.8,
     seed: int = 1,
+    n_buckets: int = 64,
+    bucket_cap: int = 4096,
 ) -> Dataset:
-    """Near-dup clusters: (id_col, cluster_id, is_kept).
+    """Near-dup clusters: (id_col, cluster_id, is_kept) — fully distributed.
 
-    Pipeline: signatures per batch -> explode (band, band_hash, id) ->
-    groupby band bucket -> candidate pairs -> verify exact n-gram Jaccard
-    -> connected components via iterative min-label propagation (driver
-    rounds over a pairs Dataset; candidate set is LSH-pruned so it is
-    orders of magnitude smaller than n^2).
+    Pipeline (no driver-side materialization of candidates, texts, or
+    components):
+      signatures per batch -> explode (band, band_hash, id) -> groupby band
+      bucket -> candidate pairs (degenerate buckets > ``bucket_cap`` emit
+      star pairs: O(b) edges that preserve connectivity instead of O(b^2))
+      -> distinct pairs (groupby) -> shingle sets joined to pairs on BOTH
+      sides via union+bucket-groupby joins -> exact n-gram Jaccard verify
+      inside the join task -> connected components via iterative
+      hash-partitioned min-label propagation (driver sees only per-round
+      change counts) -> full-corpus labeling via one more bucket join.
     """
     rows_per_band = num_perm // bands
 
@@ -155,79 +341,188 @@ def minhash_lsh_dedup(
             }
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(np.unique(g[id_col].to_numpy()))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def cand_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """All (band, band_hash) groups of one bucket at once: segment
+        boundaries via numpy; Python iterates only over groups that
+        actually hold >= 2 rows (the dup groups — a vanishing fraction)."""
+        df = df.sort_values(["band", "band_hash"], kind="stable")
+        bnd = df["band"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df[id_col].to_numpy()
+        ng = np.r_[True, (bnd[1:] != bnd[:-1]) | (bh[1:] != bh[:-1])]
+        starts = np.flatnonzero(ng)
+        ends = np.r_[starts[1:], len(df)]
+        sizes = ends - starts
+        out_a, out_b = [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            gids = np.unique(ids[s:e])
+            if len(gids) < 2:
+                continue
+            if len(gids) > bucket_cap:
+                # degenerate band (near-identical mass): star pairs keep
+                # the component connected with O(b) edges, not O(b^2)
+                out_a.append(np.repeat(gids[0], len(gids) - 1))
+                out_b.append(gids[1:])
+            else:
+                ii, jj = np.triu_indices(len(gids), k=1)
+                out_a.append(gids[ii])
+                out_b.append(gids[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": np.array([], dtype=ids.dtype), "b": np.array([], dtype=ids.dtype)}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).drop_duplicates()
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow", batch_size=4096)
-    cand = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    cand = _bucketed_groups(banded, ["band", "band_hash"], cand_kernel, n_buckets=32)
+    # global distinct: the same pair can surface from bands in different
+    # buckets — one more (tiny) bucketed pass, vectorized drop_duplicates
+    cand = _bucketed_groups(
+        cand, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]), n_buckets=16
     )
-    cand_pd = cand.to_pandas().drop_duplicates()  # candidate set: small by design
-    if len(cand_pd) == 0:
-        ids = ds.select_columns([id_col])
-        return ids.map_batches(
-            lambda b: b.append_column("cluster_id", b[id_col]).append_column(
-                "is_kept", pa.array(np.ones(len(b), dtype=bool))
-            ),
-            batch_format="pyarrow",
-        )
+    cand = _as_arrow_blocks(cand).materialize()
 
-    # verify candidates with exact n-gram Jaccard (broadcast the candidate
-    # doc texts — candidate ids are a small subset)
-    cand_ids = sorted(set(cand_pd["a"]) | set(cand_pd["b"]))
-    cand_set = pa.array(cand_ids)
-    texts_pd = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(
-            lambda b: b.filter(pc.is_in(b[id_col], value_set=cand_set)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .to_pandas()
-        .set_index(id_col)[text_col]
+    ids_only = ds.select_columns([id_col])
+    self_clusters = ids_only.map_batches(
+        lambda b: b.append_column("cluster_id", b[id_col]).append_column(
+            "is_kept", pa.array(np.ones(len(b), dtype=bool))
+        ),
+        batch_format="pyarrow",
     )
-    sh = {i: set(_word_shingle_hashes([texts_pd[i]], ngram)[0].tolist()) for i in cand_ids}
-    verified = []
-    for a, b in zip(cand_pd["a"], cand_pd["b"]):
-        sa, sb = sh[a], sh[b]
-        u = len(sa | sb)
-        if u and len(sa & sb) / u >= jaccard_threshold:
-            verified.append((a, b))
+    if cand.count() == 0:
+        return self_clusters
 
-    # union-find on the verified pair set (provably <= candidate set size)
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-            parent[hi] = lo
-    roots = {i: find(i) for i in cand_ids}
-
-    def label(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        cl = [roots.get(i, i) for i in ids]
-        kept = [c == i for i, c in zip(ids, cl)]
+    # per-doc sorted shingle-hash sets as a list<int64> column (computed
+    # once, joined to pairs on both sides — texts never leave the cluster)
+    def shingle_batch(b: pa.Table) -> pa.Table:
+        texts = [str(x) for x in b[text_col].to_pylist()]
+        hs = _word_shingle_hashes(texts, ngram)
+        offs = np.zeros(len(hs) + 1, dtype=np.int64)
+        np.cumsum([len(h) for h in hs], out=offs[1:])
+        flat = np.concatenate([np.sort(h) for h in hs]).view(np.int64)
         return pa.table(
             {
-                id_col: batch[id_col],
-                "cluster_id": pa.array(cl, type=batch[id_col].type),
-                "is_kept": pa.array(kept),
+                id_col: b[id_col],
+                "sh": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
             }
         )
 
-    return ds.select_columns([id_col]).map_batches(label, batch_format="pyarrow")
+    shingles = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    with_a = _attach_payload(
+        cand, shingles, pair_key="a", payload_key=id_col,
+        payload_cols=["sh"], out_names=["sh_a"], n_buckets=n_buckets,
+    )
+
+    # second join attaches sh_b AND verifies inside the same task
+    with_b = _attach_payload(
+        with_a, shingles, pair_key="b", payload_key=id_col,
+        payload_cols=["sh"], out_names=["sh_b"], n_buckets=n_buckets,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"a": b["a"], "b": b["b"]})
+        sa = b["sh_a"].combine_chunks() if isinstance(b["sh_a"], pa.ChunkedArray) else b["sh_a"]
+        sb = b["sh_b"].combine_chunks() if isinstance(b["sh_b"], pa.ChunkedArray) else b["sh_b"]
+        keep = np.zeros(len(b), dtype=bool)
+        for i in range(len(b)):  # per-PAIR numpy set ops on sorted arrays
+            xa = np.asarray(sa[i].values)
+            xb = np.asarray(sb[i].values)
+            inter = len(np.intersect1d(xa, xb, assume_unique=True))
+            u = len(xa) + len(xb) - inter
+            keep[i] = bool(u) and inter / u >= jaccard_threshold
+        return pa.table({"a": b["a"], "b": b["b"]}).filter(pa.array(keep))
+
+    verified = with_b.map_batches(verify, batch_format="pyarrow").materialize()
+    if verified.count() == 0:
+        return self_clusters
+
+    roots = _propagate_min_labels(verified, n_buckets=max(8, n_buckets // 2))
+
+    # full-corpus labeling: one more bucket join of ids against roots;
+    # ids without a root cluster to themselves
+    labeled = _attach_payload(
+        ids_only.map_batches(
+            lambda b: pa.table({id_col: b[id_col], "__orig": b[id_col]}),
+            batch_format="pyarrow",
+        ),
+        roots, pair_key=id_col, payload_key="id",
+        payload_cols=["cluster_id"], out_names=["cluster_id"], n_buckets=n_buckets,
+    )
+
+    def finish_hit(b: pa.Table) -> pa.Table:
+        kept = pc.equal(b["__orig"], b["cluster_id"])
+        return pa.table(
+            {id_col: b["__orig"], "cluster_id": b["cluster_id"], "is_kept": kept}
+        )
+
+    in_roots = labeled.map_batches(finish_hit, batch_format="pyarrow")
+
+    # ids NOT in any verified component: self clusters. Anti-join via the
+    # same bucket pattern: tag ids, drop those matched in roots.
+    def finish_miss(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster_id": b[id_col],
+                "is_kept": pa.array(np.ones(len(b), dtype=bool)),
+            }
+        )
+
+    root_ids = roots.map_batches(
+        lambda b: pa.table({"id": b["id"]}), batch_format="pyarrow"
+    )
+    missed = _anti_join(ids_only, root_ids, left_key=id_col, right_key="id",
+                        n_buckets=n_buckets)
+    return in_roots.union(missed.map_batches(finish_miss, batch_format="pyarrow"))
+
+
+def _anti_join(
+    left: Dataset, right: Dataset, left_key: str, right_key: str, n_buckets: int = 64
+) -> Dataset:
+    """Distributed anti-join (left rows whose key is absent from right)
+    via the union + groupby(bucket) pattern."""
+    from modlyn_ray.stages.temporal import add_bucket_column
+
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+
+    def pad_l(b: pa.Table) -> pa.Table:
+        b = b.append_column("__key", b[left_key])
+        return b.append_column("__side", pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    def pad_r(b: pa.Table) -> pa.Table:
+        cols = {"__key": b[right_key]}
+        for c in lcols:
+            cols[c] = pa.nulls(len(b), ltypes[c])
+        return pa.table(cols).append_column(
+            "__side", pa.array(np.ones(len(b), dtype=np.int8))
+        )
+
+    both = add_bucket_column(
+        left.map_batches(pad_l, batch_format="pyarrow").union(
+            right.map_batches(pad_r, batch_format="pyarrow")
+        ),
+        key="__key",
+        n_buckets=n_buckets,
+    )
+
+    def keep_unmatched(g: pa.Table) -> pa.Table:
+        side = g["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        ltbl = g.filter(pa.array(side == 0))
+        rkeys = g.filter(pa.array(side == 1))["__key"].combine_chunks()
+        if len(ltbl) == 0:
+            return ltbl.drop_columns(["__side", "bucket", "__key"])
+        hit = pc.is_valid(pc.index_in(ltbl["__key"].combine_chunks(), value_set=rkeys))
+        return ltbl.filter(pc.invert(hit)).drop_columns(["__side", "bucket", "__key"])
+
+    return both.groupby("bucket").map_groups(keep_unmatched, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -283,27 +578,73 @@ def simhash_dedup(
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = gg[id_col].to_numpy()
-        sigs = gg["sig"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = sigs[ii] ^ sigs[jj]
-        ham = np.zeros(len(x), dtype=np.int64)
-        v = x.copy()
-        for _ in range(64):
-            ham += (v & np.uint64(1)).astype(np.int64)
-            v >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep], "hamming": ham[keep]})
+    def _tile_pairs(ids, sigs, out_a, out_b, out_h):
+        """Tiled hamming pair generation for ONE chunk group: memory
+        bounded at TILE^2 regardless of the group size (an adversarial
+        all-identical-chunk input would otherwise allocate O(b^2) at
+        once); compute stays O(b^2), inherent to the "all pairs within
+        hamming<=k" contract."""
+        n = len(ids)
+        TILE = 2048
+        for si in range(0, n, TILE):
+            ei = min(si + TILE, n)
+            for sj in range(si, n, TILE):
+                ej = min(sj + TILE, n)
+                x = sigs[si:ei, None] ^ sigs[None, sj:ej]
+                ham = np.zeros(x.shape, dtype=np.int64)
+                v = x
+                for _ in range(64):
+                    ham += (v & np.uint64(1)).astype(np.int64)
+                    v = v >> np.uint64(1)
+                jj_g = np.arange(sj, ej)[None, :]
+                ii_g = np.arange(si, ei)[:, None]
+                keep = (ham <= max_hamming) & (jj_g > ii_g)
+                ai, bj = np.nonzero(keep)
+                if len(ai):
+                    out_a.append(ids[ai + si])
+                    out_b.append(ids[bj + sj])
+                    out_h.append(ham[keep])
+
+    def pair_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """All (chunk_idx, chunk_val) groups of one bucket; Python touches
+        only groups with >= 2 members."""
+        df = df.sort_values(["chunk_idx", "chunk_val", id_col], kind="stable")
+        ci = df["chunk_idx"].to_numpy()
+        cv = df["chunk_val"].to_numpy()
+        ids = df[id_col].to_numpy()
+        sg = df["sig"].to_numpy().view(np.uint64)
+        ng = np.r_[True, (ci[1:] != ci[:-1]) | (cv[1:] != cv[:-1])]
+        starts = np.flatnonzero(ng)
+        ends = np.r_[starts[1:], len(df)]
+        sizes = ends - starts
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            gids, first = np.unique(ids[s:e], return_index=True)
+            if len(gids) < 2:
+                continue
+            _tile_pairs(gids, sg[s:e][first], out_a, out_b, out_h)
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "a": np.array([], dtype=ids.dtype),
+                    "b": np.array([], dtype=ids.dtype),
+                    "hamming": np.array([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        ).drop_duplicates(["a", "b"])
 
     sigs = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=4096)
-    out = sigs.groupby(["chunk_idx", "chunk_val"]).map_groups(pairs, batch_format="pandas")
-    # dedupe pairs found in multiple chunks
-    return out.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    out = _bucketed_groups(sigs, ["chunk_idx", "chunk_val"], pair_kernel, n_buckets=32)
+    # dedupe pairs found via chunks living in different buckets (hamming is
+    # identical wherever the pair surfaces)
+    return _bucketed_groups(
+        out, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]), n_buckets=16
     )
 
 
@@ -353,11 +694,31 @@ def embedding_dedup(
         norm = np.linalg.norm(E, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         En = E / norm
-        C = En @ En.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = C[ii, jj] >= threshold
+        n = len(ids)
+        # blocked matmul: cosine tile of TILE x n rows at a time — memory
+        # bounded even for a degenerate single-bucket input (O(b^2) full
+        # similarity matrices would OOM at ~10^5 vectors)
+        TILE = 2048
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, TILE):
+            e = min(s + TILE, n)
+            C = En[s:e] @ En.T  # (tile, n)
+            jj_g = np.arange(n)[None, :]
+            ii_g = np.arange(s, e)[:, None]
+            keep = (C >= threshold) & (jj_g > ii_g)
+            ai, bj = np.nonzero(keep)
+            if len(ai):
+                out_a.append(ids[ai + s])
+                out_b.append(ids[bj])
+                out_c.append(C[keep])
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
         return pd.DataFrame(
-            {"a": ids[ii][keep], "b": ids[jj][keep], "cosine": C[ii, jj][keep]}
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)

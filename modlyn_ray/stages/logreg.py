@@ -121,6 +121,10 @@ class LogRegModel:
     classes: list[str]
     config: LogRegConfig
     losses: list[float] = field(default_factory=list)
+    # per-epoch validation metrics when fit() was given a val set — the
+    # reference's val loop (_simple_logreg_model.py:88-103 logs val loss +
+    # F1 per epoch through the torchmetrics accumulators)
+    val_history: list[dict] = field(default_factory=list)
 
     def weights_tall(self) -> pa.Table:
         """Tall equivalent of get_weights()
@@ -150,7 +154,95 @@ def train_classes(ds: Dataset) -> list[str]:
     return sorted(ds.unique("source"))
 
 
-def fit_logreg(ds: Dataset, config: LogRegConfig, classes: list[str] | None = None) -> LogRegModel:
+def split_train_val(
+    ds: Dataset, val_fraction: float = 0.1, salt: int = 0
+) -> tuple[Dataset, Dataset]:
+    """Deterministic hash split on seq_no (the reference datamodule takes
+    separate train/val AnnData objects, _simple_logreg_datamodule.py:174-200;
+    the engine derives them from one table). The split is a pure function
+    of (seq_no, salt): stable across runs, partitioning and cluster size —
+    no sampling state to checkpoint."""
+    thresh = int(val_fraction * 1000)
+
+    def mark(b: pa.Table, want_val: bool) -> pa.Table:
+        s = b["seq_no"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = s * np.uint64(0x9E3779B97F4A7C15) + np.uint64(salt)
+        is_val = (h % np.uint64(1000)).astype(np.int64) < thresh
+        return b.filter(pa.array(is_val if want_val else ~is_val))
+
+    train = ds.map_batches(
+        lambda b: mark(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    val = ds.map_batches(
+        lambda b: mark(b, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return train, val
+
+
+def eval_pass(
+    ds: Dataset, W: np.ndarray, b: np.ndarray, classes: list[str], log1p: bool = False
+) -> dict:
+    """One distributed evaluation pass with frozen weights: mean
+    cross-entropy loss + accuracy + macro F1, computed from per-batch
+    partials (loss sums + confusion cells) against weights broadcast ONCE
+    via ray.put — the val_step/metric-accumulator analog
+    (_simple_logreg_model.py:88-103) as a map_batches + tiny aggregate."""
+    K = len(classes)
+    lut = {c: i for i, c in enumerate(classes)}
+    ref = ray.put((np.asarray(W, dtype=np.float64), np.asarray(b, dtype=np.float64)))
+
+    def part(batch: pa.Table) -> pa.Table:
+        Wl, bl = ray.get(ref)
+        rows, toks, cnt, n = batch_rtc(batch)
+        x = np.log1p(cnt) if log1p else cnt
+        y = np.array([lut[s] for s in batch["source"].to_pylist()], dtype=np.int64)
+        logits = np.broadcast_to(bl, (n, K)).copy()
+        if len(toks):
+            np.add.at(logits, rows, (Wl[:, toks] * x).T)
+        logits -= logits.max(axis=1, keepdims=True)
+        expl = np.exp(logits)
+        p = expl / expl.sum(axis=1, keepdims=True)
+        loss_sum = float(-np.log(np.maximum(p[np.arange(n), y], 1e-300)).sum())
+        pred = logits.argmax(axis=1)
+        cell = y * K + pred
+        uniq, cnt_c = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(np.r_[uniq, np.int64(-1)]),
+                "n": pa.array(np.r_[cnt_c.astype(np.int64), np.int64(n)]),
+                "loss": pa.array(np.r_[np.zeros(len(uniq)), loss_sum]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"), Sum("loss", alias_name="loss"))
+        .take_all()  # <= K^2 + 1 rows
+    )
+    cm = np.zeros((K, K), dtype=np.int64)
+    n_total, loss_total = 0, 0.0
+    for r in agg:
+        if r["cell"] < 0:
+            n_total, loss_total = int(r["n"]), float(r["loss"])
+        else:
+            cm[r["cell"] // K, r["cell"] % K] = r["n"]
+    m = classification_metrics(cm, classes)
+    return {
+        "val_loss": loss_total / max(n_total, 1),
+        "accuracy": m["accuracy"],
+        "macro_f1": m["macro_f1"],
+        "n": n_total,
+    }
+
+
+def fit_logreg(
+    ds: Dataset,
+    config: LogRegConfig,
+    classes: list[str] | None = None,
+    val_ds: Dataset | None = None,
+) -> LogRegModel:
     """Golden path: deterministic minibatch Adam over seq_no-ordered batches.
 
     The update sequence is identical to the numpy oracle given the same
@@ -159,13 +251,16 @@ def fit_logreg(ds: Dataset, config: LogRegConfig, classes: list[str] | None = No
     """
     from ray.data import DataContext
 
-    classes = classes or train_classes(ds)
+    classes = classes or train_classes(ds)  # encoder fit on TRAIN only
     lut = {c: i for i, c in enumerate(classes)}
     K, V = len(classes), config.vocab
     W = np.zeros((K, V), dtype=np.float64)
     b = np.zeros(K, dtype=np.float64)
     sW, sb = AdamState.like(W), AdamState.like(b)
     losses: list[float] = []
+    val_history: list[dict] = []
+    if val_ds is not None:
+        val_ds = val_ds.materialize()  # evaluated once per epoch
     step = 0
 
     ctx = DataContext.get_current()
@@ -209,9 +304,15 @@ def fit_logreg(ds: Dataset, config: LogRegConfig, classes: list[str] | None = No
                 step += 1
                 sW.update(W, gW, config.lr)
                 sb.update(b, gb, config.lr)
+            if val_ds is not None:
+                val_history.append(
+                    {"epoch": _epoch, "step": step, **eval_pass(val_ds, W, b, classes, config.log1p)}
+                )
     finally:
         ctx.execution_options.preserve_order = prev
-    return LogRegModel(W.astype(np.float32), b.astype(np.float32), classes, config, losses)
+    return LogRegModel(
+        W.astype(np.float32), b.astype(np.float32), classes, config, losses, val_history
+    )
 
 
 def fit_logreg_fullbatch(

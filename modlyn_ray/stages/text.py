@@ -83,7 +83,10 @@ def tokenize(
             toks = pa.ListArray.from_arrays(offsets, pa.array(mapped[codes]))
             out = out.append_column("tokens", toks)
             out = out.append_column("n_tok", pc.list_value_length(toks).cast(pa.int32()))
-        return out
+        # drop inherited pandas schema metadata: it makes pa.Schema
+        # unhashable inside Ray's block-schema dedup ("Failed to hash the
+        # schemas" warning on every task)
+        return out.replace_schema_metadata(None)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -53,15 +53,31 @@ def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST)
 
 
-def is_complete(out_dir: str) -> bool:
-    """A stage is complete iff its manifest exists and every file it lists is
-    present with the recorded size (cheap validation, no data re-read)."""
+def _json_norm(x) -> str:
+    """Canonical JSON encoding for config/inputs equality (tuples->lists,
+    key order pinned) — what the manifest stores and what we compare."""
+    return json.dumps(x, sort_keys=True, default=str)
+
+
+def is_complete(
+    out_dir: str, config: dict | None = None, inputs: list[str] | None = None
+) -> bool:
+    """A stage is complete iff its manifest exists, every file it lists is
+    present with the recorded size (cheap validation, no data re-read),
+    AND — when the caller passes ``config``/``inputs`` — the recorded
+    values match. A re-run with different parameters (e.g. different
+    bucket count or train steps) therefore invalidates the checkpoint
+    instead of silently returning stale output (ADVICE r1)."""
     mp = manifest_path(out_dir)
     if not os.path.exists(mp):
         return False
     try:
         with open(mp) as f:
             m = json.load(f)
+        if config is not None and _json_norm(m.get("config", {})) != _json_norm(config):
+            return False
+        if inputs is not None and _json_norm(m.get("inputs", [])) != _json_norm(inputs):
+            return False
         for fs in m["files"]:
             p = os.path.join(out_dir, "data", fs["path"])
             if not os.path.exists(p) or os.path.getsize(p) != fs["bytes"]:
@@ -91,7 +107,7 @@ def run_stage(
     from modlyn_ray.schema import tokens_checksum
 
     data_dir = os.path.join(out_dir, "data")
-    if is_complete(out_dir):
+    if is_complete(out_dir, config=config or {}, inputs=inputs or []):
         return rd.read_parquet(data_dir)
 
     tmp = out_dir + ".tmp"
@@ -148,14 +164,15 @@ def _part_dir(out_dir: str, partition_col: str, value) -> str:
     return os.path.join(out_dir, f"{partition_col}={value}")
 
 
-def completed_partitions(out_dir: str, partition_col: str) -> set:
-    """Partition values whose directory holds a valid manifest."""
+def completed_partitions(out_dir: str, partition_col: str, config: dict | None = None) -> set:
+    """Partition values whose directory holds a valid manifest (matching
+    ``config`` when given — a config change invalidates every partition)."""
     done = set()
     if not os.path.isdir(out_dir):
         return done
     prefix = f"{partition_col}="
     for name in os.listdir(out_dir):
-        if name.startswith(prefix) and is_complete(os.path.join(out_dir, name)):
+        if name.startswith(prefix) and is_complete(os.path.join(out_dir, name), config=config):
             try:
                 done.add(int(name[len(prefix):]))
             except ValueError:
@@ -191,7 +208,7 @@ def run_stage_partitioned(
     from modlyn_ray.schema import tokens_checksum as _tok_ck
 
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_partitions(out_dir, partition_col)
+    done = completed_partitions(out_dir, partition_col, config=config or {})
     missing = [p for p in all_partitions if p not in done]
     if missing:
         ds = build_for_partitions(missing)

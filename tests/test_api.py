@@ -56,3 +56,31 @@ def test_compare_scores_facade(tiny_dir):
     a = res.sort_values(["n_top", "method_pair", "cell_line"], na_position="last")
     b = res2.sort_values(["n_top", "method_pair", "cell_line"], na_position="last")
     np.testing.assert_allclose(a["jaccard"].to_numpy(), b["jaccard"].to_numpy())
+
+
+def test_jaccard_grouped_means_and_artifacts(tmp_path):
+    """S7 data products: grouped means match pandas on the tidy frame;
+    artifacts round-trip through parquet (VERDICT r1 item 8)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for name in ("m1", "m2"):
+        df = pd.DataFrame(
+            rng.standard_normal((3, 40)),
+            index=["A", "B", "C"],
+            columns=np.arange(40),
+        )
+        df.attrs["method_name"] = name
+        frames.append(df)
+    cs = CompareScores(frames, n_top_values=[5, 10])
+    tidy = cs.compute_jaccard_comparison()
+    gm = cs.jaccard_grouped_means()
+    want = tidy.groupby(["n_top", "method_pair"])["jaccard"].mean().unstack()
+    pd.testing.assert_frame_equal(gm, want)
+    assert "Random baseline" in gm.columns
+    paths = cs.write_artifacts(str(tmp_path / "eval"))
+    rt = pd.read_parquet(paths["grouped_means"])
+    assert "n_top" in rt.columns and len(rt) == 2
+    assert len(pd.read_parquet(paths["results"])) == len(tidy)

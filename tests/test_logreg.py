@@ -131,3 +131,64 @@ def test_predict_and_metrics():
     # sanity vs majority baseline: training should beat the largest class prior
     prior = cm.sum(axis=1).max() / cm.sum()
     assert m["accuracy"] >= prior * 0.8
+
+
+def test_split_train_val_disjoint_stable():
+    from modlyn_ray.stages.logreg import split_train_val
+
+    profile = synth.TINY
+    d = synth.ensure_profile(profile)
+    ds = rd.read_parquet(f"{d}/sequences")
+    tr, va = split_train_val(ds, val_fraction=0.25, salt=3)
+    tr_ids = set(r["seq_no"] for r in tr.select_columns(["seq_no"]).take_all())
+    va_ids = set(r["seq_no"] for r in va.select_columns(["seq_no"]).take_all())
+    assert tr_ids.isdisjoint(va_ids)
+    assert len(tr_ids) + len(va_ids) == profile.n_rows
+    assert 0.10 < len(va_ids) / profile.n_rows < 0.40
+    # deterministic: the same split again
+    tr2, _ = split_train_val(ds, val_fraction=0.25, salt=3)
+    assert set(r["seq_no"] for r in tr2.select_columns(["seq_no"]).take_all()) == tr_ids
+
+
+def test_val_loss_sequence_matches_numpy_oracle():
+    """Per-epoch val loss computed by the distributed eval_pass must match a
+    single-process numpy replication: train on the hash-split train side,
+    evaluate frozen weights on the val side after each epoch."""
+    from modlyn_ray.stages.logreg import split_train_val
+
+    profile = synth.TINY
+    d = synth.ensure_profile(profile)
+    cfg = LogRegConfig(vocab=profile.vocab, batch_size=16, max_steps=10_000, max_epochs=3)
+    ds = rd.read_parquet(f"{d}/sequences")
+    tr, va = split_train_val(ds, val_fraction=0.25, salt=3)
+    model = fit_logreg(tr, cfg, val_ds=va)
+    assert len(model.val_history) == cfg.max_epochs
+
+    # numpy oracle over the same split, same canonical order
+    tbl = synth.make_sequences(profile)
+    order = np.argsort(tbl["seq_no"].to_numpy())
+    tbl = tbl.take(pa.array(order))
+    s = tbl["seq_no"].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = s * np.uint64(0x9E3779B97F4A7C15) + np.uint64(3)
+    is_val = (h % np.uint64(1000)).astype(np.int64) < 250
+    Xall, yall, classes = oracle.dense_counts(tbl, cfg.vocab)
+    # encoder fit on TRAIN only
+    Xt, yt_raw = Xall[~is_val], np.asarray(tbl["source"].to_pylist(), dtype=object)[~is_val]
+    Xv, yv_raw = Xall[is_val], np.asarray(tbl["source"].to_pylist(), dtype=object)[is_val]
+    tr_classes = sorted(set(yt_raw))
+    lut = {c: i for i, c in enumerate(tr_classes)}
+    yt = np.array([lut[c] for c in yt_raw])
+    yv = np.array([lut[c] for c in yv_raw])
+    assert model.classes == tr_classes
+    for e in range(cfg.max_epochs):
+        W, b, _ = oracle.logreg_adam(
+            Xt, yt, len(tr_classes), lr=cfg.lr, weight_decay=cfg.weight_decay,
+            batch_size=cfg.batch_size, max_steps=10_000, max_epochs=e + 1,
+        )
+        logits = Xv @ W.astype(np.float64).T + b.astype(np.float64)
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        want = float(-np.log(np.maximum(p[np.arange(len(yv)), yv], 1e-300)).mean())
+        np.testing.assert_allclose(model.val_history[e]["val_loss"], want, rtol=1e-4)
