@@ -12,6 +12,7 @@ Commands:
     stats      --input DIR --out DIR
     wilcoxon   --input DIR --out DIR
     logreg     --input DIR --out DIR [--vocab V --steps S --batch B]
+    dedup      --input DIR --out DIR [--method exact|minhash|simhash|embedding]
     synth      --profile tiny|small|bench [--out DIR]
 
 Example (cluster):
@@ -65,6 +66,16 @@ def main(argv: list[str] | None = None) -> int:
     sl.add_argument("--vocab", type=int)
     sl.add_argument("--steps", type=int, default=50)
     sl.add_argument("--batch", type=int, default=256)
+
+    sd = sub.add_parser("dedup", help="deduplicate a document table")
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--out", required=True)
+    sd.add_argument(
+        "--method", default="exact", choices=["exact", "minhash", "simhash", "embedding"]
+    )
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--threshold", type=float, default=0.8)
 
     sy = sub.add_parser("synth", help="generate a synthetic corpus profile")
     sy.add_argument("--profile", default="small", choices=["tiny", "small", "bench"])
@@ -135,6 +146,29 @@ def main(argv: list[str] | None = None) -> int:
             "logreg_weights",
             build,
             config={"input": args.input, "steps": args.steps, "batch": args.batch},
+            inputs=[args.input],
+        )
+    elif args.cmd == "dedup":
+        from modlyn_ray.stages import dedup as dd
+
+        def build():
+            ds_in = rd.read_parquet(args.input)
+            if args.method == "exact":
+                return dd.exact_dedup(ds_in, col=args.text_col, id_col=args.id_col)
+            if args.method == "minhash":
+                return dd.minhash_lsh_dedup(
+                    ds_in, text_col=args.text_col, id_col=args.id_col,
+                    jaccard_threshold=args.threshold,
+                )
+            if args.method == "simhash":
+                return dd.simhash_dedup(ds_in, text_col=args.text_col, id_col=args.id_col)
+            return dd.embedding_dedup(ds_in, threshold=args.threshold)
+
+        ds = run_stage(
+            args.out,
+            f"dedup_{args.method}",
+            build,
+            config={"input": args.input, "method": args.method, "threshold": args.threshold},
             inputs=[args.input],
         )
     else:  # pragma: no cover

@@ -550,6 +550,83 @@ def q24_fingerprint(sf_dir: str) -> pd.DataFrame:
 Q24_SQL = "SELECT doc_id, md5(text) AS md5 FROM documents"
 
 
+def q25_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact word-trigram Jaccard pairs >= 0.5 among the first 500 docs —
+    the n-gram-Jaccard verification operator (the same math minhash's
+    verify stage applies to LSH candidates, exact-string variant so a SQL
+    oracle can reproduce it bit-for-bit; the scale path hashes shingles).
+    Distributed shape: per-doc distinct-shingle sets in map_batches, pair
+    generation + set ops inside one bucket group (500 docs -> demo scale;
+    the LSH-pruned variant is minhash_lsh_dedup)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).filter(
+        expr="doc_id < 500"
+    )
+
+    def shingle_sets(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        out = []
+        for t in texts:
+            ws = t.split(" ")
+            if len(ws) < 3:
+                out.append([t])
+            else:
+                out.append(sorted({" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}))
+        return pa.table(
+            {"doc_id": b["doc_id"], "sh": pa.array(out, type=pa.list_(pa.string()))}
+        )
+
+    sh = ds.map_batches(shingle_sets, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sets = [set(x) for x in g["sh"]]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[j])
+                u = len(sets[i]) + len(sets[j]) - inter
+                if u and inter / u >= 0.5:
+                    rows.append((ids[i], ids[j], inter / u))
+        if not rows:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        a, b2, jc = zip(*rows)
+        return pd.DataFrame({"a": a, "b": b2, "jaccard": jc})
+
+    def one_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("bucket", pa.array(np.zeros(len(b), dtype=np.int64)))
+
+    out = (
+        sh.map_batches(one_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    out["jaccard"] = _round(out["jaccard"], 6)
+    return out
+
+
+Q25_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 500),
+tri AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS sh
+  FROM d)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+
 # ===========================================================================
 # embeddings: similarity search
 # ===========================================================================
@@ -941,6 +1018,7 @@ QUERIES = {
     "q22_exact_dedup": q22_exact_dedup,
     "q23_lang_id": q23_lang_id,
     "q24_fingerprint": q24_fingerprint,
+    "q25_ngram_jaccard": q25_ngram_jaccard,
     "q30_ann_topk": q30_ann_topk,
     "q31_embedding_dedup": q31_embedding_dedup,
     "q40_count_stats": q40_count_stats,
@@ -969,6 +1047,7 @@ ORACLES = {
     "q22_exact_dedup": Q22_SQL,
     "q23_lang_id": Q23_SQL,
     "q24_fingerprint": Q24_SQL,
+    "q25_ngram_jaccard": Q25_SQL,
     "q30_ann_topk": Q30_SQL,
     "q31_embedding_dedup": Q31_SQL,
     "q40_count_stats": Q40_SQL,

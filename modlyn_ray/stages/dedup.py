@@ -86,18 +86,46 @@ def exact_dedup(
 # shingles + minhash
 # ---------------------------------------------------------------------------
 def _word_shingle_hashes(texts: list[str], n: int) -> list[np.ndarray]:
-    """Per doc: array of distinct crc32 hashes of word n-gram shingles."""
-    out = []
-    for t in texts:
-        ws = t.split(" ")
-        if len(ws) < n:
-            sh = {zlib.crc32(t.encode())}
+    """Per doc: array of DISTINCT 64-bit hashes of word n-gram shingles.
+
+    Batch-vectorized: one Arrow split over all texts, crc32 once per
+    DISTINCT word, then the shingle hash is a positional polynomial
+    combine of the n word hashes (h_i*P^(n-1) + ... + h_{i+n-1}, wrapping
+    mod 2^64) computed with n shifted numpy views over the flat token
+    array — no per-shingle string joins, no per-doc Python in the common
+    case. Docs shorter than n words fall back to crc32(text)."""
+    m = len(texts)
+    if m == 0:
+        return []
+    words = pc.split_pattern(pa.array(texts, type=pa.string()), " ")
+    flat = words.flatten()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    dic = flat.dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    crc = np.array(
+        [zlib.crc32(w.encode()) for w in dic.dictionary.to_pylist()], dtype=np.uint64
+    )
+    h = crc[codes] if len(codes) else np.array([], dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        total = len(h)
+        if total >= n:
+            comb = np.zeros(total - n + 1, dtype=np.uint64)
+            for k in range(n):
+                comb = comb * P + h[k : total - n + 1 + k]
         else:
-            sh = {
-                zlib.crc32(" ".join(ws[i : i + n]).encode())
-                for i in range(len(ws) - n + 1)
-            }
-        out.append(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+            comb = np.zeros(0, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    for i in range(m):
+        ln = lens[i]
+        if ln < n:
+            out.append(np.array([zlib.crc32(texts[i].encode())], dtype=np.uint64))
+            continue
+        s = offs[i]
+        seg = comb[s : s + ln - n + 1]  # start positions fully inside doc i
+        out.append(np.unique(seg))
     return out
 
 
@@ -529,22 +557,32 @@ def _anti_join(
 # simhash
 # ---------------------------------------------------------------------------
 def simhash_signatures(texts: list[str]) -> np.ndarray:
-    """64-bit SimHash over word hashes weighted by term count (vectorized
-    bit-vote accumulation per doc)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        ws = t.split(" ")
-        if not ws:
-            continue
-        hs = np.fromiter(
-            (zlib.crc32(w.encode()) for w in ws), dtype=np.uint64, count=len(ws)
-        )
+    """64-bit SimHash over word hashes weighted by term count — fully
+    batch-vectorized: one Arrow split over all texts, crc32 per DISTINCT
+    word (dictionary encode), then 64 bincount bit-votes across every doc
+    at once (no per-doc Python loop)."""
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    words = pc.split_pattern(pa.array(texts, type=pa.string()), " ")
+    flat = words.flatten()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    dic = flat.dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    crc = np.array(
+        [zlib.crc32(w.encode()) for w in dic.dictionary.to_pylist()], dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
         # extend crc32 to 64 bits deterministically
-        hs = hs * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
-        votes = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-        score = votes.sum(axis=0) * 2 - len(ws)
-        out[i] = np.sum((score > 0).astype(np.uint64) << bits)
+        h = crc[codes] * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+        ones = np.bincount(row_idx, weights=bit, minlength=n)
+        out |= (2 * ones - lens > 0).astype(np.uint64) << np.uint64(b)
     return out
 
 

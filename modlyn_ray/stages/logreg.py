@@ -112,6 +112,22 @@ class LogRegConfig:
     # deterministic golden schedule; True = seeded random_shuffle per epoch.
     shuffle_each_epoch: bool = False
     shuffle_seed: int = 0
+    # LR scheduler surface (the reference's configure_optimizers scheduler
+    # hook, _simple_logreg_model.py:105-124): "none" | "step" (torch StepLR:
+    # lr * gamma^(step // step_size)) | "cosine" (CosineAnnealingLR over
+    # max_steps). Applied per optimizer step.
+    scheduler: str = "none"
+    scheduler_gamma: float = 0.5
+    scheduler_step_size: int = 100
+
+    def lr_at(self, step: int) -> float:
+        """Learning rate for optimizer step ``step`` (0-based)."""
+        if self.scheduler == "step":
+            return self.lr * self.scheduler_gamma ** (step // self.scheduler_step_size)
+        if self.scheduler == "cosine":
+            t_max = max(self.max_steps, 1)
+            return self.lr * 0.5 * (1.0 + np.cos(np.pi * min(step, t_max) / t_max))
+        return self.lr
 
 
 @dataclass
@@ -301,9 +317,10 @@ def fit_logreg(
                     np.add.at(gWT, toks, d[rows] * x[:, None])
                     gW += gWT.T
                 gb = d.sum(axis=0)
+                lr_t = config.lr_at(step)
                 step += 1
-                sW.update(W, gW, config.lr)
-                sb.update(b, gb, config.lr)
+                sW.update(W, gW, lr_t)
+                sb.update(b, gb, lr_t)
             if val_ds is not None:
                 val_history.append(
                     {"epoch": _epoch, "step": step, **eval_pass(val_ds, W, b, classes, config.log1p)}
@@ -410,8 +427,9 @@ def fit_logreg_fullbatch(
         gW = gW / n_total + config.weight_decay * W
         gb = gb / n_total
         losses.append(loss_sum / n_total)
-        sW.update(W, gW, config.lr)
-        sb.update(b, gb, config.lr)
+        lr_t = config.lr_at(sW.t)
+        sW.update(W, gW, lr_t)
+        sb.update(b, gb, lr_t)
     return LogRegModel(W.astype(np.float32), b.astype(np.float32), classes, config, losses)
 
 

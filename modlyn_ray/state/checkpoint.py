@@ -107,7 +107,9 @@ def run_stage(
     from modlyn_ray.schema import tokens_checksum
 
     data_dir = os.path.join(out_dir, "data")
-    if is_complete(out_dir, config=config or {}, inputs=inputs or []):
+    # config/inputs omitted (None) => resume without parameter validation;
+    # passing them compares against the manifest and invalidates on change
+    if is_complete(out_dir, config=config, inputs=inputs):
         return rd.read_parquet(data_dir)
 
     tmp = out_dir + ".tmp"
@@ -208,7 +210,7 @@ def run_stage_partitioned(
     from modlyn_ray.schema import tokens_checksum as _tok_ck
 
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_partitions(out_dir, partition_col, config=config or {})
+    done = completed_partitions(out_dir, partition_col, config=config)
     missing = [p for p in all_partitions if p not in done]
     if missing:
         ds = build_for_partitions(missing)

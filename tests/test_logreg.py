@@ -192,3 +192,42 @@ def test_val_loss_sequence_matches_numpy_oracle():
         p /= p.sum(axis=1, keepdims=True)
         want = float(-np.log(np.maximum(p[np.arange(len(yv)), yv], 1e-300)).mean())
         np.testing.assert_allclose(model.val_history[e]["val_loss"], want, rtol=1e-4)
+
+
+def test_step_scheduler_matches_numpy_oracle():
+    """StepLR semantics: lr * gamma^(step // step_size), per optimizer
+    step, identical between the engine loop and a numpy replication."""
+    profile = synth.TINY
+    d = synth.ensure_profile(profile)
+    cfg = LogRegConfig(
+        vocab=profile.vocab, batch_size=16, max_steps=24, max_epochs=10,
+        scheduler="step", scheduler_gamma=0.5, scheduler_step_size=8,
+    )
+    model = fit_logreg(rd.read_parquet(f"{d}/sequences"), cfg)
+
+    tbl = synth.make_sequences(profile)
+    order = np.argsort(tbl["seq_no"].to_numpy())
+    tbl = tbl.take(pa.array(order))
+    X, y, classes = oracle.dense_counts(tbl, cfg.vocab)
+    n, K = len(y), len(classes)
+    W = np.zeros((K, cfg.vocab)); b = np.zeros(K)
+    from modlyn_ray.stages.logreg import AdamState
+    sW, sb = AdamState.like(W), AdamState.like(b)
+    step = 0
+    for _epoch in range(cfg.max_epochs):
+        for lo in range(0, n, cfg.batch_size):
+            if step >= cfg.max_steps:
+                break
+            Xb, yb = X[lo:lo+cfg.batch_size], y[lo:lo+cfg.batch_size]
+            logits = Xb @ W.T + b
+            logits -= logits.max(axis=1, keepdims=True)
+            p = np.exp(logits); p /= p.sum(axis=1, keepdims=True)
+            dd = p; dd[np.arange(len(yb)), yb] -= 1.0; dd /= len(yb)
+            gW = dd.T @ Xb + cfg.weight_decay * W
+            gb = dd.sum(axis=0)
+            lr_t = cfg.lr * cfg.scheduler_gamma ** (step // cfg.scheduler_step_size)
+            step += 1
+            sW.update(W, gW, lr_t); sb.update(b, gb, lr_t)
+    np.testing.assert_allclose(model.W, W.astype(np.float32), rtol=1e-5, atol=1e-7)
+    # and the lr schedule itself decays
+    assert cfg.lr_at(0) == cfg.lr and cfg.lr_at(8) == cfg.lr * 0.5
