@@ -5,8 +5,9 @@ Plain run (one JSON line on stdout):
     python bench.py                # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
                                    # $RAY_GRAFT_CPUS (default 32)
 Scaling evidence (north rule: N vs 4N):
-    python bench.py --scaling      # fresh processes at 8 and 32 CPUs over the
-                                   # SAME input; prints both + efficiency
+    python bench.py --scaling      # fresh processes at 8/32 and 4/16 CPUs over
+                                   # the SAME 8M-row SCALE corpus; prints both
+                                   # efficiencies + hardware calibration
 
 Headline = the flagship point-in-time feature pipeline (windowize + as-of +
 prefix accumulators) over the deterministic synthetic sequences corpus
@@ -50,7 +51,8 @@ def run_benchmark() -> dict:
     from modlyn_ray.pipelines.flagship import pit_features
     from modlyn_ray.stages.count_stats import count_stats
 
-    bench_dir = synth.ensure_profile(synth.BENCH)
+    profile = synth.PROFILES[os.environ.get("GRAFT_PROFILE", "bench")]
+    bench_dir = synth.ensure_profile(profile)
     seq_path = f"{bench_dir}/sequences"
     attr_path = f"{bench_dir}/doc_attrs.parquet"
 
@@ -61,11 +63,11 @@ def run_benchmark() -> dict:
     pit_features(
         rd.read_parquet(seq_path),
         rd.read_parquet(attr_path),
-        n_buckets=max(64, num_cpus * 4),
+        n_buckets=max(32, num_cpus * 2),
     ).count()
     count_stats(rd.read_parquet(seq_path)).count()
 
-    n_rows = synth.BENCH.n_rows
+    n_rows = profile.n_rows
     # total token count (cheap metadata-level aggregate)
     n_tokens = int(
         rd.read_parquet(seq_path, columns=["n_tok"]).sum("n_tok")
@@ -80,7 +82,7 @@ def run_benchmark() -> dict:
         feats = pit_features(
             rd.read_parquet(seq_path),
             rd.read_parquet(attr_path),
-            n_buckets=max(64, num_cpus * 4),
+            n_buckets=max(32, num_cpus * 2),
         )
         out_rows = feats.count()
         t_pit = min(t_pit, time.perf_counter() - t0)
@@ -199,7 +201,12 @@ def run_scaling() -> dict:
     """
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SKIP_QUERIES="1",
+            GRAFT_PROFILE=os.environ.get("GRAFT_SCALING_PROFILE", "scale"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -211,10 +218,15 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     # the shared virtualized box shows multi-x load swings across minutes;
-    # INTERLEAVE the levels and keep the best run per level so a load spike
-    # cannot land on one side of a pair
+    # INTERLEAVE the levels (and rely on each invocation's internal
+    # warmup + best-of-2) so a load spike cannot land on one side of a
+    # pair. The scaling corpus is the 8M-row SCALE profile: a ~10s job is
+    # dominated by fixed orchestration costs that don't shrink with CPUs,
+    # so throughput ratios only mean something once the job is long enough
+    # to amortize them (the regime the 100 TB target lives in).
+    levels = (8, 32, 4, 16) * int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
     res: dict[int, dict] = {}
-    for n in (8, 32, 4, 16, 8, 32, 4, 16):
+    for n in levels:
         r = one(n)
         if n not in res or r["value"] < res[n]["value"]:
             res[n] = r

@@ -78,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--threshold", type=float, default=0.8)
 
     sy = sub.add_parser("synth", help="generate a synthetic corpus profile")
-    sy.add_argument("--profile", default="small", choices=["tiny", "small", "bench"])
+    sy.add_argument("--profile", default="small", choices=["tiny", "small", "bench", "scale"])
     sy.add_argument("--out")
 
     args = p.parse_args(argv)

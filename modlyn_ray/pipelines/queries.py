@@ -195,8 +195,13 @@ HAVING count(*) > (SELECT count(*) / 40.0 FROM documents)
 
 
 def q05_distinct_parts(sf_dir: str) -> pd.DataFrame:
-    """Distinct-count per group (A1 analog) via per-batch dedup partials ->
-    groupby over (flag, partkey) -> count."""
+    """Distinct-count per group (A1 analog): per-batch dedup partials ->
+    hash-bucketed vectorized distinct (each (flag, partkey) pair lands in
+    exactly one bucket) -> per-bucket partial distinct counts -> one tiny
+    groupby(flag). Ray's per-group aggregate overhead makes a direct
+    groupby over ~10^4+ (flag, partkey) groups pathologically slow."""
+    from modlyn_ray.stages.dedup import _bucketed_groups
+
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
     )
@@ -205,12 +210,22 @@ def q05_distinct_parts(sf_dir: str) -> pd.DataFrame:
         df = b.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    pairs = (
-        ds.map_batches(dedup_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_partkey"])
-        .aggregate(Count(alias_name="_n"))
+    def distinct_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_returnflag", "l_partkey"])
+        out = d.groupby("l_returnflag", as_index=False).size()
+        return out.rename(columns={"size": "np_part"})
+
+    partials = _bucketed_groups(
+        ds.map_batches(dedup_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_partkey"],
+        distinct_counts,
+        n_buckets=16,
     )
-    out = pairs.groupby("l_returnflag").aggregate(Count(alias_name="n_parts")).to_pandas()
+    out = (
+        partials.groupby("l_returnflag")
+        .aggregate(Sum("np_part", alias_name="n_parts"))
+        .to_pandas()
+    )
     out["n_parts"] = out["n_parts"].astype(np.int64)
     return out
 
@@ -368,21 +383,20 @@ FROM events
 
 def q13_asof_join(sf_dir: str) -> pd.DataFrame:
     """W1/J4: for each click, the latest purchase value at or before it,
-    per user. Right side deduped to max value per (user, ts) so ties are
-    deterministic on both sides."""
+    per user. No pre-dedupe shuffle: asof_kernel's deterministic tie-break
+    (greatest value tuple wins among equal right timestamps) is exactly
+    max(value) per (user, ts), so the SQL oracle's GROUP BY ... max(value)
+    is reproduced with ONE exchange instead of two."""
     ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
     clicks = ev.filter(expr="event_type == 'click'").select_columns(
         ["event_id", "user_id", "ts"]
     )
-    purch = ev.filter(expr="event_type == 'purchase'")
-
-    def dedupe_right(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["user_id", "ts"], as_index=False)["value"].max()
-
-    purch_d = purch.groupby("user_id").map_groups(dedupe_right, batch_format="pandas")
+    purch = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts", "value"]
+    )
     out = asof_join(
         clicks,
-        purch_d,
+        purch,
         value_cols=["value"],
         by="user_id",
         ts_col="ts",

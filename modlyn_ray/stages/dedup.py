@@ -3,18 +3,26 @@ cosine — the training-data dedup suite (engine extension; the reference has
 no dedup, SURVEY §2.7 U4).
 
 Scale design (the ray_guide dedup pattern):
-- exact:   content hash in map_batches -> groupby(hash) -> keep first.
-  The shuffle moves only (hash, id) key rows when ``keys_only=True``.
-- MinHash: per-batch vectorized shingle->minhash signatures (numpy
-  min-reduce over universal-hash permutations) -> explode to
-  (band_id, band_hash, doc_id) rows -> groupby bands -> candidate pairs ->
-  verified by exact n-gram Jaccard -> min-label propagation for clusters.
+- exact:   content hash in map_batches -> hash-bucketed vectorized
+  keep-first (value-exact inside the bucket, collision-proof).
+- MinHash: batch-vectorized shingle->minhash signatures (multiply-shift
+  permutations) -> explode to (band_id, band_hash, doc_id) rows ->
+  bucketed candidate pairs -> exact n-gram Jaccard verification inside
+  union+bucket-groupby joins (shingle sets joined to pairs on both
+  sides) -> connected components by iterative hash-partitioned min-label
+  propagation. NOTHING materializes on the driver: not candidates, not
+  texts, not components — the driver sees only per-round change counts.
 - SimHash: 64-bit signature per doc; candidates = equal 16-bit chunks
-  (4 bands), verified by Hamming distance.
-- embedding: random-hyperplane LSH buckets, within-bucket cosine.
+  (4 bands), verified by tiled (memory-bounded) popcount kernels.
+- embedding: random-hyperplane LSH buckets, within-bucket blocked cosine.
 
-All per-batch kernels are numpy-vectorized; shingle base hashes use
-crc32 (process-stable). Candidate verification joins are bucket-local.
+Two load-bearing engine patterns live here:
+- ``_bucketed_groups``: Ray pays ~ms of overhead PER GROUP in
+  map_groups/aggregate — pathological beyond ~10^4 distinct keys — so all
+  high-cardinality groupings hash-bucket their keys and run one
+  VECTORIZED pandas kernel per bucket.
+- ``_attach_payload`` / ``_anti_join``: distributed equi-joins via the
+  same union + groupby(crc32-bucket) exchange the as-of join uses.
 """
 
 from __future__ import annotations
