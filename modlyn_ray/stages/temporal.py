@@ -346,20 +346,6 @@ def window_kernel(
     return out
 
 
-def _shift_null(col: pa.Array, null_mask: np.ndarray, forward: bool) -> pa.Array:
-    """Shift an Arrow array by one (forward=lag, backward=lead) nulling rows
-    in ``null_mask`` — used at doc boundaries."""
-    import pyarrow.compute as pc
-
-    n = len(col)
-    if forward:
-        idx = np.r_[0, np.arange(n - 1)]
-    else:
-        idx = np.r_[np.arange(1, n), n - 1] if n else np.array([], dtype=np.int64)
-    shifted = col.take(pa.array(idx))
-    return pc.if_else(pa.array(~null_mask), shifted, pa.scalar(None, col.type))
-
-
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------

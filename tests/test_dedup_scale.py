@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -90,3 +91,30 @@ def test_embedding_adversarial_single_bucket(ray_session):
     out = embedding_dedup(rd.from_arrow(tbl).repartition(4), threshold=0.99).to_pandas()
     assert len(out) == n * (n - 1) // 2
     assert (out["cosine"] >= 0.99).all()
+
+
+def test_minhash_partitioning_invariance(ray_session):
+    """Cluster assignments are a pure function of the data — identical
+    across different input partitionings (the bucketed kernels and joins
+    must not depend on block boundaries)."""
+    rng = np.random.default_rng(11)
+    texts = [" ".join(f"w{v}" for v in rng.integers(0, 2000, 10)) for _ in range(400)]
+    base = [f"dup_{v}" for v in rng.integers(0, 100, 15)]
+    for v in range(4):
+        w = list(base)
+        w[-1] = f"x{v}"
+        texts.append(" ".join(w))
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                    "text": pa.array(texts)})
+    outs = []
+    for parts in (2, 8):
+        out = (
+            minhash_lsh_dedup(rd.from_arrow(tbl).repartition(parts), n_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd_a, pd_b = outs
+    assert pd_a["cluster_id"].tolist() == pd_b["cluster_id"].tolist()
+    assert pd_a["is_kept"].tolist() == pd_b["is_kept"].tolist()
