@@ -49,7 +49,7 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
             sum_disc_price=("disc_price", "sum"),
             count_order=("l_quantity", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -208,7 +208,7 @@ def q05_distinct_parts(sf_dir: str) -> pd.DataFrame:
 
     def dedup_partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def distinct_counts(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates(["l_returnflag", "l_partkey"])

@@ -67,7 +67,7 @@ def exact_dedup(
             h = pl.from_arrow(batch.select([col])).select(
                 pl.col(col).hash(seed=0).reinterpret(signed=True).alias("__h")
             )["__h"].to_arrow()
-            return batch.append_column("__h", h.cast(pa.int64()))
+            return batch.append_column("__h", h.cast(pa.int64())).replace_schema_metadata(None)
         vals = batch[col].to_pylist()
         h = [hashlib.md5(str(v).encode()).hexdigest() for v in vals]
         return batch.append_column("__h", pa.array(h))
@@ -250,7 +250,9 @@ def _bucketed_groups(
         import polars as pl
 
         h = pl.from_arrow(b.select(key_cols)).hash_rows(seed=0).to_numpy()
-        return b.append_column("__bkt", pa.array((h % n_buckets).astype(np.int64)))
+        return b.append_column(
+            "__bkt", pa.array((h % n_buckets).astype(np.int64))
+        ).replace_schema_metadata(None)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return kernel(g.drop(columns="__bkt"))

@@ -79,7 +79,10 @@ def add_bucket_column(
         idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = [str(x) for x in dic.dictionary.to_pylist()]
         b = _crc_bucket_of_uniques(uniq, n_buckets, heavy)
-        return batch.append_column("bucket", pa.array(b[idx]))
+        # metadata stripped: parquet-inherited pandas metadata makes
+        # pa.Schema unhashable inside Ray's shuffle schema dedup (warning
+        # spam on every reduce task)
+        return batch.append_column("bucket", pa.array(b[idx])).replace_schema_metadata(None)
 
     return ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
 
