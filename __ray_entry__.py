@@ -3,10 +3,11 @@
 ``entry()`` runs the flagship point-in-time pipeline on sf0.001 documents
 (tokenized into the engine's sequences contract). ``queries()`` exposes one
 callable per implemented operator family from SURVEY.md §2;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible query (non-expressible ones — iterative SGD, crc32 token
-ids, PIT flagship — are rows-only by design and covered by golden tests
-in tests/).
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every query except
+q50 (iterative minibatch SGD — the one genuinely non-SQL-expressible
+pipeline, rows-only + numpy-oracle parity in tests/test_logreg.py).
+Count-stats / wilcoxon / jaccard / PIT all carry full value-level oracles
+(md5 token-id scheme + window SQL).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
