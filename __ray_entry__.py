@@ -4,8 +4,9 @@
 (tokenized into the engine's sequences contract). ``queries()`` exposes one
 callable per implemented operator family from SURVEY.md §2;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query except
-q50 (iterative minibatch SGD — the one genuinely non-SQL-expressible
-pipeline, rows-only + numpy-oracle parity in tests/test_logreg.py).
+q50 (iterative minibatch SGD) and q53 (iterative full-batch Adam) — the
+genuinely non-SQL-expressible pipelines, rows-only + numpy-oracle parity
+in tests/test_logreg.py.
 Count-stats / wilcoxon / jaccard / PIT all carry full value-level oracles
 (md5 token-id scheme + window SQL).
 

@@ -74,10 +74,15 @@ def run_benchmark() -> dict:
     )
 
     # the sandbox is a shared virtualized box with 3-5x timing noise across
-    # runs; report the best of two rounds (peak sustained throughput)
+    # runs; INTERLEAVE >=3 rounds of each phase (a load spike then cannot
+    # sink a whole phase) and report the best (peak sustained throughput),
+    # with a burn-kernel calibration reading from the same window so the
+    # ambient load is visible in the recorded JSON
+    n_rounds = int(os.environ.get("GRAFT_BENCH_ROUNDS", "3"))
     t_pit, t_stats = float("inf"), float("inf")
+    pit_all, stats_all = [], []
     stats_rows = 0
-    for _round in range(2):
+    for _round in range(n_rounds):
         t0 = time.perf_counter()
         feats = pit_features(
             rd.read_parquet(seq_path),
@@ -85,14 +90,19 @@ def run_benchmark() -> dict:
             n_buckets=max(32, num_cpus * 2),
         )
         out_rows = feats.count()
-        t_pit = min(t_pit, time.perf_counter() - t0)
+        pit_all.append(round(time.perf_counter() - t0, 3))
+        t_pit = min(t_pit, pit_all[-1])
         assert out_rows == n_rows, (out_rows, n_rows)
 
         t0 = time.perf_counter()
         stats_rows = count_stats(rd.read_parquet(seq_path)).count()
-        t_stats = min(t_stats, time.perf_counter() - t0)
+        stats_all.append(round(time.perf_counter() - t0, 3))
+        t_stats = min(t_stats, stats_all[-1])
 
     headline = t_pit + t_stats
+    # ambient-load calibration from THIS window (8-proc CPU-burn tasks/sec;
+    # compare across BENCH_r{N}.json files to spot noisy recordings)
+    hw_burn = round(_hw_throughput(8, _burn), 3)
 
     # per-query timings over the sf dir (the driver-facing operator suite);
     # GRAFT_SKIP_QUERIES=1 measures the headline alone (scaling calibration)
@@ -108,6 +118,9 @@ def run_benchmark() -> dict:
             "num_cpus": num_cpus,
             "pit_sec": round(t_pit, 3),
             "count_stats_sec": round(t_stats, 3),
+            "pit_rounds": pit_all,
+            "count_stats_rounds": stats_all,
+            "hw_burn_tasks_per_sec": hw_burn,
             "sequences_per_sec": round(n_rows / headline, 1),
             "tokens_per_sec": round(n_tokens / headline, 1),
         }
@@ -143,6 +156,9 @@ def run_benchmark() -> dict:
         "num_cpus": num_cpus,
         "pit_sec": round(t_pit, 3),
         "count_stats_sec": round(t_stats, 3),
+        "pit_rounds": pit_all,
+        "count_stats_rounds": stats_all,
+        "hw_burn_tasks_per_sec": hw_burn,
         "sequences_per_sec": round(n_rows / headline, 1),
         "tokens_per_sec": round(n_tokens / headline, 1),
         "n_tokens": n_tokens,
@@ -250,8 +266,10 @@ def run_scaling() -> dict:
     sp_8_32 = res[8]["value"] / res[32]["value"]
     sp_4_16 = res[4]["value"] / res[16]["value"]
     return {
-        "metric": "scaling efficiency (throughput at 4N CPUs / 4x throughput at N CPUs)",
-        "value": round(max(eff_8_32, eff_4_16), 3),
+        # headline value = the stated N->4N pair (8->32); the below-knee
+        # 4->16 pair is reported alongside, never cherry-picked into "value"
+        "metric": "scaling efficiency (throughput at 32 CPUs / 4x throughput at 8 CPUs)",
+        "value": round(eff_8_32, 3),
         "unit": "ratio",
         "efficiency_8_to_32": round(eff_8_32, 3),
         "efficiency_4_to_16": round(eff_4_16, 3),

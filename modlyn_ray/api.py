@@ -142,6 +142,49 @@ class SimpleLogReg:
 
         return ds.map_batches(fix, batch_format="pyarrow")
 
+    def write_artifacts(self, out_dir: str) -> dict:
+        """Persist the training data products as Parquet (the S7 sink
+        surface — the data behind the reference's figures, emitted as
+        tables instead of matplotlib output):
+
+        - ``losses.parquet`` (step, loss) — the plot_losses training curve
+          (_simple_logreg_model.py:194-223)
+        - ``val_history.parquet`` — per-epoch validation loss/accuracy/F1
+          (the plot's right panel), written only when fit() ran with a
+          val set
+        - ``scores_heatmap.parquet`` — the plot_heatmaps pivot
+          (/root/reference/modlyn/eval/_jaccard.py:145-172): the wide
+          classes×features frame with BOTH axes sorted (K2), class as the
+          first column. Suited to the reference's vocab scale; at huge
+          vocab use get_weights_tall() instead.
+        """
+        import os
+
+        if self.model is None:
+            raise RuntimeError("call fit() first")
+        os.makedirs(out_dir, exist_ok=True)
+        paths = {
+            "losses": os.path.join(out_dir, "losses.parquet"),
+            "scores_heatmap": os.path.join(out_dir, "scores_heatmap.parquet"),
+        }
+        pd.DataFrame(
+            {
+                "step": range(len(self.model.losses)),
+                "loss": self.model.losses,
+            }
+        ).to_parquet(paths["losses"], index=False)
+        if self.model.val_history:
+            paths["val_history"] = os.path.join(out_dir, "val_history.parquet")
+            pd.DataFrame(self.model.val_history).to_parquet(
+                paths["val_history"], index=False
+            )
+        wide = self.model.weights_wide().sort_index().sort_index(axis=1)
+        wide.columns = [str(c) for c in wide.columns]
+        wide.reset_index(names="class").to_parquet(
+            paths["scores_heatmap"], index=False
+        )
+        return paths
+
     def evaluate(self, ds: Dataset | None = None) -> dict:
         """Accuracy / macro + weighted F1 / per-class P-R-F1 on a dataset
         (train encoder reused — never refit). Works with any

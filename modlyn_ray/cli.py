@@ -134,11 +134,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "logreg":
         from modlyn_ray.api import SimpleLogReg
 
+        trained: list = []  # the fitted facade, for the artifact sinks below
+
         def build():
             import ray.data as rd2
 
             model = SimpleLogReg(args.input, vocab=args.vocab)
             model.fit(max_steps=args.steps, batch_size=args.batch)
+            trained.append(model)
             return rd2.from_arrow(model.get_weights_tall())
 
         ds = run_stage(
@@ -148,6 +151,11 @@ def main(argv: list[str] | None = None) -> int:
             config={"input": args.input, "steps": args.steps, "batch": args.batch},
             inputs=[args.input],
         )
+        # S7 data products (loss curve + sorted scores-heatmap pivot) land
+        # next to the weights — skipped when run_stage resumed from a
+        # finished manifest (build never ran; the artifacts already exist)
+        if trained:
+            trained[0].write_artifacts(os.path.join(args.out, "artifacts"))
     elif args.cmd == "dedup":
         from modlyn_ray.stages import dedup as dd
 

@@ -97,23 +97,51 @@ def pit_features(
             heavy=heavy,
         )
 
+    DICT = pa.dictionary(pa.int32(), pa.string())
     seq_schema = [
-        ("doc_id", pa.string()),
+        ("doc_id", DICT),
         ("tokens", pa.list_(pa.int32())),
         ("n_tok", pa.int32()),
-        ("source", pa.string()),
+        ("source", DICT),
         ("ingest_ts", pa.timestamp("us")),
         ("seq_no", pa.int64()),
         ("row_mix", pa.int64()),
     ]
     vtypes = {"attr_val": pa.float64()}
 
+    def _dict_encode(b: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+        # slim the exchange payload: string key columns ship as per-block
+        # dictionary arrays (int32 indices + one tiny dict per block — no
+        # global dictionary needed, Arrow unifies dictionaries on concat,
+        # so this stays scale-safe at 10^9 doc_ids). Decoded after the
+        # shuffle at per_bucket entry.
+        for c in cols:
+            col = b[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not pa.types.is_dictionary(col.type):
+                col = col.dictionary_encode()
+            b = b.set_column(b.schema.get_field_index(c), c, col.cast(DICT))
+        return b
+
+    def _dict_decode(t: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for c in cols:
+            if c in t.column_names and pa.types.is_dictionary(t.schema.field(c).type):
+                t = t.set_column(
+                    t.schema.get_field_index(c), c, pc.cast(t[c], pa.string())
+                )
+        return t
+
     def pad_seq(b: pa.Table) -> pa.Table:
+        b = _dict_encode(b, ("doc_id", "source"))
         return b.append_column("attr_val", pa.nulls(len(b), pa.float64())).append_column(
             "__side", pa.array(np.zeros(len(b), dtype=np.int8))
         )
 
     def pad_attr(b: pa.Table) -> pa.Table:
+        b = _dict_encode(b, ("doc_id",))
         n = len(b)
         cols = {}
         for name, typ in seq_schema:
@@ -132,6 +160,7 @@ def pit_features(
     both = add_bucket_column(s_aug.union(a_aug), key="doc_id", n_buckets=n_buckets, heavy=heavy)
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        group = _dict_decode(group, ("doc_id", "source"))
         side = group["__side"].combine_chunks().to_numpy(zero_copy_only=False)
         ltbl = group.filter(pa.array(side == 0)).drop_columns(["__side", "bucket", "attr_val"])
         rtbl = group.filter(pa.array(side == 1))

@@ -592,6 +592,13 @@ def q25_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     sh = ds.map_batches(shingle_sets, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # demo-scale contract made explicit: this is the ORACLE-verification
+        # query (all-pairs in one bucket, O(n^2)); the scale path is
+        # minhash_lsh_dedup. The assert keeps it from silently running at
+        # corpus scale if the doc_id slice above is ever widened.
+        assert len(g) <= 1000, (
+            f"q25 is an all-pairs demo query capped at 1000 docs; got {len(g)}"
+        )
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         sets = [set(x) for x in g["sh"]]
@@ -807,6 +814,23 @@ def q50_logreg_weights(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{d}/sequences")
     model = fit_logreg(
         ds, LogRegConfig(vocab=synth.SMALL.vocab, batch_size=256, max_steps=50)
+    )
+    return model.weights_tall().to_pandas()
+
+
+def q53_logreg_fullbatch(sf_dir: str) -> pd.DataFrame:
+    """Scale-path trainer (fit_logreg_fullbatch: synchronous full-gradient
+    Adam — per-step gradient partials in map_batches against ray.put-broadcast
+    weights, tree-reduced like count_stats). Non-SQL-expressible (iterative
+    optimizer) — rows-only driver check; numeric parity vs the numpy
+    full-batch oracle is enforced by tests/test_logreg.py."""
+    from modlyn_ray import synth
+    from modlyn_ray.stages.logreg import LogRegConfig, fit_logreg_fullbatch
+
+    d = _synth_small()
+    ds = rd.read_parquet(f"{d}/sequences")
+    model = fit_logreg_fullbatch(
+        ds, LogRegConfig(vocab=synth.SMALL.vocab), steps=8
     )
     return model.weights_tall().to_pandas()
 
@@ -1040,6 +1064,7 @@ QUERIES = {
     "q50_logreg_weights": q50_logreg_weights,
     "q51_jaccard_eval": q51_jaccard_eval,
     "q52_pit_features": q52_pit_features,
+    "q53_logreg_fullbatch": q53_logreg_fullbatch,
 }
 
 ORACLES = {
@@ -1068,7 +1093,8 @@ ORACLES = {
     "q41_wilcoxon": Q41_SQL,
     "q51_jaccard_eval": Q51_SQL,
     "q52_pit_features": Q52_SQL,
-    # q50 (iterative minibatch SGD) is the one genuinely non-SQL-expressible
-    # pipeline -> rows-only driver check; numeric parity is enforced by
-    # tests/test_logreg.py against the deterministic numpy oracle.
+    # q50 (iterative minibatch SGD) and q53 (iterative full-batch Adam) are
+    # the genuinely non-SQL-expressible pipelines -> rows-only driver
+    # checks; numeric parity is enforced by tests/test_logreg.py against
+    # the deterministic numpy oracles.
 }

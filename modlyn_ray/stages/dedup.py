@@ -56,9 +56,9 @@ def exact_dedup(
     value inside each hash bucket, so hash collisions can never merge
     distinct payloads — safe at 10^12 rows where 64-bit birthday
     collisions are expected. ``fast_hash=True`` uses polars' vectorized
-    64-bit hash; otherwise md5 (slower, Python loop per row).
+    64-bit hash; otherwise DuckDB's vectorized C md5() kernel (the
+    Fingerprinter route — no per-row Python either way).
     """
-    import hashlib
 
     def add_hash(batch: pa.Table) -> pa.Table:
         if fast_hash:
@@ -68,9 +68,11 @@ def exact_dedup(
                 pl.col(col).hash(seed=0).reinterpret(signed=True).alias("__h")
             )["__h"].to_arrow()
             return batch.append_column("__h", h.cast(pa.int64())).replace_schema_metadata(None)
-        vals = batch[col].to_pylist()
-        h = [hashlib.md5(str(v).encode()).hexdigest() for v in vals]
-        return batch.append_column("__h", pa.array(h))
+        import duckdb
+
+        tbl = pa.table({"t": pc.cast(batch[col], pa.string())})  # noqa: F841 (duckdb scans it)
+        h = duckdb.connect().execute("SELECT md5(t) AS h FROM tbl").arrow().column("h")
+        return batch.append_column("__h", h).replace_schema_metadata(None)
 
     def first_per_value(g: pd.DataFrame) -> pd.DataFrame:
         # within a hash bucket, group by the REAL value (collision-proof)
@@ -265,12 +267,21 @@ def _bucketed_groups(
 
 
 def _propagate_min_labels(
-    edges: Dataset, max_iters: int = 12, n_buckets: int = 32
+    edges: Dataset, max_iters: int = 64, n_buckets: int = 32
 ) -> Dataset:
     """Connected components by iterative min-label propagation, entirely as
     Dataset ops (the driver holds only the per-round change COUNT, never
     the edge or label sets). ``edges``: (a, b) verified pairs. Returns
-    (id, cluster_id) for every id that appears in an edge."""
+    (id, cluster_id) for every id that appears in an edge.
+
+    Runs until the distributed change count reaches 0; ``max_iters`` is a
+    SAFETY CAP. Each round propagates along BOTH the graph edges and
+    shortcut edges (lab -> id, i.e. pointer jumping: a node adopts its
+    label's own current label), so convergence needs O(log diameter)
+    rounds, not O(diameter) — a 10^6-long chain of drifting near-dups
+    converges in ~20 rounds. Hitting the cap without convergence raises —
+    silent mislabeling (split cluster ids, clusters with no ``is_kept``
+    row) is worse than failing."""
 
     def sym(b: pa.Table) -> pa.Table:
         return pa.concat_tables(
@@ -281,6 +292,12 @@ def _propagate_min_labels(
         )
 
     edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    # adapt exchange fan-out to the LABEL-SET size: each round pays ~3
+    # all-to-all fixed costs per bucket-block, so a small verified-pair
+    # graph (the common case after LSH pruning) runs on few buckets while
+    # a 10^9-edge graph keeps the caller's full fan-out
+    n_edges = edges_sym.count() // 2
+    n_buckets = max(1, min(n_buckets, n_edges // 50_000 + 1))
 
     # initial labels: own id
     labels = _as_arrow_blocks(
@@ -294,40 +311,62 @@ def _propagate_min_labels(
         )
     ).materialize()
 
+    changed = -1
     for _ in range(max_iters):
-        # candidate labels for v: label of each neighbor u (join labels on u)
+        # propagation edges this round = graph edges + SHORTCUT edges
+        # (u=lab, v=id): "candidate label for id is the current label of
+        # its label" — pointer jumping riding the SAME attach exchange
+        shortcuts = labels.map_batches(
+            lambda b: pa.table({"u": b["lab"], "v": b["id"]}), batch_format="pyarrow"
+        )
         cand = _attach_payload(
-            edges_sym, labels, pair_key="u", payload_key="id",
+            edges_sym.union(_as_arrow_blocks(shortcuts)), labels,
+            pair_key="u", payload_key="id",
             payload_cols=["lab"], out_names=["nlab"], n_buckets=n_buckets,
         ).map_batches(
-            lambda b: pa.table({"id": b["v"], "lab": b["nlab"]}), batch_format="pyarrow"
+            lambda b: pa.table(
+                {"id": b["v"], "lab": b["nlab"],
+                 "__old": pa.nulls(len(b), b["nlab"].type)}
+            ),
+            batch_format="pyarrow",
+        )
+        tagged_old = labels.map_batches(
+            lambda b: pa.table({"id": b["id"], "lab": b["lab"], "__old": b["lab"]}),
+            batch_format="pyarrow",
         )
 
         def min_lab(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("id", as_index=False)["lab"].min()
-
-        new_labels = _as_arrow_blocks(
-            _bucketed_groups(
-                _as_arrow_blocks(labels.union(_as_arrow_blocks(cand))),
-                ["id"], min_lab, n_buckets=n_buckets,
+            # per id: new = min over old + candidates; changed = new < old.
+            # The change count folds into this exchange (no separate pass).
+            g = df.groupby("id", as_index=False).agg(
+                lab=("lab", "min"), __old=("__old", "max")
             )
-        ).materialize()
+            g["__chg"] = (g["lab"] < g["__old"]).astype("int64")
+            return g[["id", "lab", "__chg"]]
 
-        # change count: ids whose (old, new) labels differ — one tiny aggregate
-        tagged = labels.map_batches(
-            lambda b: pa.table({"id": b["id"], "lab": b["lab"]}), batch_format="pyarrow"
-        ).union(new_labels)
-
-        def n_changed(df: pd.DataFrame) -> pd.DataFrame:
-            per_id = df.groupby("id")["lab"].nunique()
-            return pd.DataFrame({"c": [int((per_id > 1).sum())]})
-
-        changed = _bucketed_groups(tagged, ["id"], n_changed, n_buckets=n_buckets).sum(
-            "c"
-        )  # distributed scalar reduce — the driver sees ONE number
-        labels = new_labels
+        # repartition BEFORE materialize: the union + sort grow the block
+        # count ~3x per round (1000+ tiny blocks by round 5 without this),
+        # and per-block fixed costs then dwarf the actual label work
+        new_labels = (
+            _as_arrow_blocks(
+                _bucketed_groups(
+                    _as_arrow_blocks(tagged_old.union(_as_arrow_blocks(cand))),
+                    ["id"], min_lab, n_buckets=n_buckets,
+                )
+            )
+            .repartition(n_buckets)
+            .materialize()
+        )
+        changed = new_labels.sum("__chg")  # tiny scalar reduce, no shuffle
+        labels = new_labels.drop_columns(["__chg"])
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"min-label propagation did not converge within max_iters={max_iters} "
+            f"rounds ({changed} labels still changing); the component graph's "
+            f"diameter exceeds the cap — raise max_iters"
+        )
     return labels.map_batches(
         lambda b: pa.table({"id": b["id"], "cluster_id": b["lab"]}),
         batch_format="pyarrow",
@@ -467,13 +506,28 @@ def minhash_lsh_dedup(
             return pa.table({"a": b["a"], "b": b["b"]})
         sa = b["sh_a"].combine_chunks() if isinstance(b["sh_a"], pa.ChunkedArray) else b["sh_a"]
         sb = b["sh_b"].combine_chunks() if isinstance(b["sh_b"], pa.ChunkedArray) else b["sh_b"]
-        keep = np.zeros(len(b), dtype=bool)
-        for i in range(len(b)):  # per-PAIR numpy set ops on sorted arrays
-            xa = np.asarray(sa[i].values)
-            xb = np.asarray(sb[i].values)
-            inter = len(np.intersect1d(xa, xb, assume_unique=True))
-            u = len(xa) + len(xb) - inter
-            keep[i] = bool(u) and inter / u >= jaccard_threshold
+        npairs = len(b)
+        # vectorized across ALL pairs at once (no per-pair Python loop):
+        # joint-code every shingle value, pack (pair_idx, code) into one
+        # int64 key per element, then a single set-intersection of the two
+        # key arrays; per-pair intersection sizes fall out of one bincount.
+        oa = sa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ob = sb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        la = np.diff(oa - oa[0])
+        lb = np.diff(ob - ob[0])
+        flat_a = np.asarray(sa.values)[oa[0] : oa[-1]]
+        flat_b = np.asarray(sb.values)[ob[0] : ob[-1]]
+        uniq, inv = np.unique(np.concatenate([flat_a, flat_b]), return_inverse=True)
+        m = np.int64(len(uniq))
+        pid_a = np.repeat(np.arange(npairs, dtype=np.int64), la)
+        pid_b = np.repeat(np.arange(npairs, dtype=np.int64), lb)
+        ka = pid_a * m + inv[: len(flat_a)]
+        kb = pid_b * m + inv[len(flat_a) :]
+        # per-pair shingle sets are unique, so (pair, code) keys are unique
+        common = np.intersect1d(ka, kb, assume_unique=True)
+        inter = np.bincount(common // m, minlength=npairs).astype(np.float64)
+        u = la + lb - inter
+        keep = (u > 0) & (inter / np.maximum(u, 1) >= jaccard_threshold)
         return pa.table({"a": b["a"], "b": b["b"]}).filter(pa.array(keep))
 
     verified = with_b.map_batches(verify, batch_format="pyarrow").materialize()

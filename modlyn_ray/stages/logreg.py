@@ -112,10 +112,12 @@ class LogRegConfig:
     # deterministic golden schedule; True = seeded random_shuffle per epoch.
     shuffle_each_epoch: bool = False
     shuffle_seed: int = 0
-    # LR scheduler surface (the reference's configure_optimizers scheduler
-    # hook, _simple_logreg_model.py:105-124): "none" | "step" (torch StepLR:
-    # lr * gamma^(step // step_size)) | "cosine" (CosineAnnealingLR over
-    # max_steps). Applied per optimizer step.
+    # LR scheduler surface — an ENGINE EXTENSION beyond the reference
+    # (its configure_optimizers returns a bare Adam with no scheduler,
+    # _simple_logreg_model.py:105-108; "none" reproduces that default):
+    # "step" = torch StepLR semantics (lr * gamma^(step // step_size)),
+    # "cosine" = CosineAnnealingLR over max_steps. Applied per optimizer
+    # step.
     scheduler: str = "none"
     scheduler_gamma: float = 0.5
     scheduler_step_size: int = 100
@@ -204,6 +206,8 @@ def eval_pass(
     partials (loss sums + confusion cells) against weights broadcast ONCE
     via ray.put — the val_step/metric-accumulator analog
     (_simple_logreg_model.py:88-103) as a map_batches + tiny aggregate."""
+    from modlyn_ray.util import encode_labels
+
     K = len(classes)
     lut = {c: i for i, c in enumerate(classes)}
     ref = ray.put((np.asarray(W, dtype=np.float64), np.asarray(b, dtype=np.float64)))
@@ -212,22 +216,33 @@ def eval_pass(
         Wl, bl = ray.get(ref)
         rows, toks, cnt, n = batch_rtc(batch)
         x = np.log1p(cnt) if log1p else cnt
-        y = np.array([lut[s] for s in batch["source"].to_pylist()], dtype=np.int64)
+        y = encode_labels(batch["source"], lut)
         logits = np.broadcast_to(bl, (n, K)).copy()
         if len(toks):
             np.add.at(logits, rows, (Wl[:, toks] * x).T)
-        logits -= logits.max(axis=1, keepdims=True)
-        expl = np.exp(logits)
-        p = expl / expl.sum(axis=1, keepdims=True)
-        loss_sum = float(-np.log(np.maximum(p[np.arange(n), y], 1e-300)).sum())
-        pred = logits.argmax(axis=1)
-        cell = y * K + pred
+        # rows whose label is absent from the train-side classes (a hash
+        # split can strand all rows of a rare class in val) are EXCLUDED
+        # from loss/CM; their count rides the aggregate as cell -2 so the
+        # driver can surface one clear warning instead of a worker KeyError
+        known = y >= 0
+        n_unknown = int((~known).sum())
+        yk = y[known]
+        logits_k = logits[known]
+        nk = len(yk)
+        logits_k = logits_k - logits_k.max(axis=1, keepdims=True) if nk else logits_k
+        expl = np.exp(logits_k)
+        p = expl / np.maximum(expl.sum(axis=1, keepdims=True), 1e-300)
+        loss_sum = (
+            float(-np.log(np.maximum(p[np.arange(nk), yk], 1e-300)).sum()) if nk else 0.0
+        )
+        pred = logits_k.argmax(axis=1) if nk else np.zeros(0, dtype=np.int64)
+        cell = yk * K + pred
         uniq, cnt_c = np.unique(cell, return_counts=True)
         return pa.table(
             {
-                "cell": pa.array(np.r_[uniq, np.int64(-1)]),
-                "n": pa.array(np.r_[cnt_c.astype(np.int64), np.int64(n)]),
-                "loss": pa.array(np.r_[np.zeros(len(uniq)), loss_sum]),
+                "cell": pa.array(np.r_[uniq, np.int64(-1), np.int64(-2)]),
+                "n": pa.array(np.r_[cnt_c.astype(np.int64), np.int64(nk), np.int64(n_unknown)]),
+                "loss": pa.array(np.r_[np.zeros(len(uniq)), loss_sum, 0.0]),
             }
         )
 
@@ -235,21 +250,32 @@ def eval_pass(
         ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cell")
         .aggregate(Sum("n", alias_name="n"), Sum("loss", alias_name="loss"))
-        .take_all()  # <= K^2 + 1 rows
+        .take_all()  # <= K^2 + 2 rows
     )
     cm = np.zeros((K, K), dtype=np.int64)
-    n_total, loss_total = 0, 0.0
+    n_total, loss_total, n_unknown = 0, 0.0, 0
     for r in agg:
-        if r["cell"] < 0:
+        if r["cell"] == -1:
             n_total, loss_total = int(r["n"]), float(r["loss"])
+        elif r["cell"] == -2:
+            n_unknown = int(r["n"])
         else:
             cm[r["cell"] // K, r["cell"] % K] = r["n"]
+    if n_unknown:
+        import warnings
+
+        warnings.warn(
+            f"eval_pass: {n_unknown} rows carry labels absent from the train-side "
+            f"classes and were excluded from loss/metrics",
+            stacklevel=2,
+        )
     m = classification_metrics(cm, classes)
     return {
         "val_loss": loss_total / max(n_total, 1),
         "accuracy": m["accuracy"],
         "macro_f1": m["macro_f1"],
         "n": n_total,
+        "n_skipped_unknown": n_unknown,
     }
 
 
@@ -266,6 +292,8 @@ def fit_logreg(
     (SURVEY §7.4 hard part 1).
     """
     from ray.data import DataContext
+
+    from modlyn_ray.util import encode_labels
 
     classes = classes or train_classes(ds)  # encoder fit on TRAIN only
     lut = {c: i for i, c in enumerate(classes)}
@@ -300,7 +328,12 @@ def fit_logreg(
                     break
                 rows, toks, cnt, n = batch_rtc(batch)
                 x = np.log1p(cnt) if config.log1p else cnt
-                y = np.array([lut[s] for s in batch["source"].to_pylist()], dtype=np.int64)
+                y = encode_labels(batch["source"], lut)
+                if n and y.min() < 0:
+                    raise ValueError(
+                        "fit_logreg: train batch contains labels absent from "
+                        "the fitted class set (pass classes= covering them)"
+                    )
                 logits = np.broadcast_to(b, (n, K)).copy()
                 if len(toks):
                     np.add.at(logits, rows, (W[:, toks] * x).T)
@@ -360,6 +393,8 @@ def fit_logreg_fullbatch(
     BIAS_BASE = np.int64(K) << 32  # bias grad for class c: (K + c)<<32 | SENT
     LOSS_KEY = (np.int64(2 * K + 1) << 32) | SENT
 
+    from modlyn_ray.util import encode_labels
+
     for _ in range(steps):
         ref = ray.put((W, b))
         log1p = config.log1p
@@ -370,7 +405,12 @@ def fit_logreg_fullbatch(
             Kl = len(bl)
             rows, toks, cnt, n = batch_rtc(batch)
             x = np.log1p(cnt) if log1p else cnt
-            y = np.array([lut_local[s] for s in batch["source"].to_pylist()], dtype=np.int64)
+            y = encode_labels(batch["source"], lut_local)
+            if n and y.min() < 0:
+                raise ValueError(
+                    "fit_logreg_fullbatch: train batch contains labels absent "
+                    "from the fitted class set (pass classes= covering them)"
+                )
             logits = np.broadcast_to(bl, (n, Kl)).copy()
             if len(toks):
                 np.add.at(logits, rows, (Wl[:, toks] * x).T)
@@ -475,13 +515,16 @@ def predict(ds: Dataset, model: LogRegModel, concurrency: int = 4, batch_size: i
 def confusion_matrix(ds: Dataset, classes: list[str], pred_col="pred_source", true_col="source") -> np.ndarray:
     """Per-batch partial confusion counts -> groupby sum -> (K, K) int64.
     Rows = true class, cols = predicted."""
+    from modlyn_ray.util import encode_labels
+
     K = len(classes)
     lut = {c: i for i, c in enumerate(classes)}
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = np.array([lut[s] for s in batch[true_col].to_pylist()], dtype=np.int64)
-        p = np.array([lut[s] for s in batch[pred_col].to_pylist()], dtype=np.int64)
-        key = t * K + p
+        t = encode_labels(batch[true_col], lut)
+        p = encode_labels(batch[pred_col], lut)
+        known = (t >= 0) & (p >= 0)  # rows outside the class set are skipped
+        key = t[known] * K + p[known]
         uniq, cnt = np.unique(key, return_counts=True)
         return pa.table({"cell": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
 

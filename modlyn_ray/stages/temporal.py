@@ -109,7 +109,10 @@ def detect_heavy_keys(
         col = batch[key]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        vc = pc.value_counts(col)
+        # nulls are dropped: None vs str is unorderable under np.unique in
+        # the driver fold, and a null key gets crc32("None") routing in
+        # add_bucket_column anyway — never a dedicated heavy bucket
+        vc = pc.value_counts(col.drop_null())
         return pa.table({"k": vc.field("values"), "n": vc.field("counts")})
 
     # distributed per-batch value_counts; the driver folds only the (small)

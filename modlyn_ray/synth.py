@@ -60,8 +60,14 @@ BENCH = SynthProfile(
 SCALE = SynthProfile(
     "scale", seed=3, n_rows=8_000_000, vocab=32_768, n_docs=80_000, n_sources=8, max_len=48, n_shards=64
 )
+# SCALE32: 4x SCALE for the north-rule scaling measurement — at ~10s the
+# 32-CPU job is still part fixed cost; a minutes-long job isolates the
+# data-proportional throughput the efficiency ratio is meant to compare.
+SCALE32 = SynthProfile(
+    "scale32", seed=4, n_rows=32_000_000, vocab=32_768, n_docs=320_000, n_sources=8, max_len=48, n_shards=128
+)
 
-PROFILES = {p.name: p for p in (TINY, SMALL, BENCH, SCALE)}
+PROFILES = {p.name: p for p in (TINY, SMALL, BENCH, SCALE, SCALE32)}
 
 
 def _zipf_weights(n: int, a: float = 1.2) -> np.ndarray:

@@ -3,6 +3,33 @@
 from __future__ import annotations
 
 
+def encode_labels(col, lut: dict[str, int], unknown: int = -1):
+    """Label column -> int64 codes via ``lut``, touching Python only for
+    DISTINCT values: dictionary-encode the Arrow column, map the lut over
+    the (tiny) dictionary, then one vectorized take. Replaces the
+    per-ROW ``[lut[s] for s in col.to_pylist()]`` pattern in hot paths
+    (the count_stats partial kernel's idiom). Values absent from the lut
+    map to ``unknown`` — callers decide whether that is an error (train)
+    or a row to exclude (validation)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    # a null element has a NULL dictionary index — route it to a sentinel
+    # slot appended at the end of code_of (plain astype would NaN-cast)
+    n_dict = len(d.dictionary)
+    idx = pc.fill_null(d.indices, n_dict).to_numpy(zero_copy_only=False).astype(np.int64)
+    code_of = np.array(
+        [lut.get(str(u), unknown) for u in d.dictionary.to_pylist()] + [unknown],
+        dtype=np.int64,
+    )
+    return code_of[idx] if len(idx) else np.zeros(0, dtype=np.int64)
+
+
 def pool_size(requested: int) -> int:
     """Clamp an actor-pool size so it can never starve upstream stages.
 
