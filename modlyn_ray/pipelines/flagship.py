@@ -109,30 +109,8 @@ def pit_features(
     ]
     vtypes = {"attr_val": pa.float64()}
 
-    def _dict_encode(b: pa.Table, cols: tuple[str, ...]) -> pa.Table:
-        # slim the exchange payload: string key columns ship as per-block
-        # dictionary arrays (int32 indices + one tiny dict per block — no
-        # global dictionary needed, Arrow unifies dictionaries on concat,
-        # so this stays scale-safe at 10^9 doc_ids). Decoded after the
-        # shuffle at per_bucket entry.
-        for c in cols:
-            col = b[c]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            if not pa.types.is_dictionary(col.type):
-                col = col.dictionary_encode()
-            b = b.set_column(b.schema.get_field_index(c), c, col.cast(DICT))
-        return b
-
-    def _dict_decode(t: pa.Table, cols: tuple[str, ...]) -> pa.Table:
-        import pyarrow.compute as pc
-
-        for c in cols:
-            if c in t.column_names and pa.types.is_dictionary(t.schema.field(c).type):
-                t = t.set_column(
-                    t.schema.get_field_index(c), c, pc.cast(t[c], pa.string())
-                )
-        return t
+    from modlyn_ray.util import dict_decode_batch as _dict_decode
+    from modlyn_ray.util import dict_encode_batch as _dict_encode
 
     def pad_seq(b: pa.Table) -> pa.Table:
         b = _dict_encode(b, ("doc_id", "source"))

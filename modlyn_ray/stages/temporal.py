@@ -202,7 +202,15 @@ def windowize(
     prefix_sum_cols = prefix_sum_cols or []
     rolling_cols = rolling_cols or []
 
+    from modlyn_ray.util import dict_decode_batch, dict_encode_batch
+
+    # string key/group columns ride the shuffle as per-block dictionary
+    # arrays (slim payload; Arrow unifies dictionaries on concat) and are
+    # decoded back to plain strings inside the per-bucket kernel
+    slim_cols = (by, "source") if session_on_source_change else (by,)
+
     def per_bucket(group: pa.Table) -> pa.Table:
+        group = dict_decode_batch(group, slim_cols)
         return window_kernel(
             group,
             lag_cols=lag_cols,
@@ -221,7 +229,12 @@ def windowize(
             tie_col=tie_col,
         )
 
-    bds = add_bucket_column(ds, key=by, n_buckets=n_buckets, heavy=heavy)
+    slim = ds.map_batches(
+        lambda b: dict_encode_batch(b, slim_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bds = add_bucket_column(slim, key=by, n_buckets=n_buckets, heavy=heavy)
     res = bds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
     return res.drop_columns(["bucket"])
 
@@ -396,16 +409,28 @@ def asof_join(
     vtypes = {c: r_schema.field(c).type for c in value_cols}
     union_cols = lcols + value_cols  # value cols are null on the left side
 
+    from modlyn_ray.util import dict_decode_batch, dict_encode_batch
+
+    # the join key rides the shuffle dictionary-encoded (slim payload, no
+    # global dict — Arrow unifies per-block dictionaries on concat) and is
+    # decoded back inside the merge kernel
+    key_is_string = pa.types.is_string(l_schema.field(by).type)
+    slim_cols = (by,) if key_is_string else ()
+
     def pad_left(b: pa.Table) -> pa.Table:
+        b = dict_encode_batch(b, slim_cols)
         for c in value_cols:
             b = b.append_column(c, pa.nulls(len(b), vtypes[c]))
         return b.append_column("__side", pa.array(np.zeros(len(b), dtype=np.int8)))
 
     def pad_right(b: pa.Table) -> pa.Table:
+        b = dict_encode_batch(b, slim_cols)
         n = len(b)
         arrays = []
         for c in lcols:
-            if c in (by, ts_col):
+            if c == by:
+                arrays.append(b[c])
+            elif c == ts_col:
                 arrays.append(b[c])
             else:
                 arrays.append(pa.nulls(n, l_schema.field(c).type))
@@ -421,6 +446,7 @@ def asof_join(
     both = add_bucket_column(l_aug.union(r_aug), key=by, n_buckets=n_buckets, heavy=heavy)
 
     def merge(group: pa.Table) -> pa.Table:
+        group = dict_decode_batch(group, slim_cols)
         side = group["__side"].combine_chunks().to_numpy(zero_copy_only=False)
         lmask = pa.array(side == 0)
         ltbl = group.filter(lmask).drop_columns(["__side", "bucket"] + value_cols)

@@ -30,6 +30,47 @@ def encode_labels(col, lut: dict[str, int], unknown: int = -1):
     return code_of[idx] if len(idx) else np.zeros(0, dtype=np.int64)
 
 
+DICT_STR = None  # populated lazily (pyarrow import kept out of module load)
+
+
+def dict_encode_batch(b, cols):
+    """Exchange-payload slimming: string columns -> per-block dictionary
+    arrays (int32 indices + one tiny per-block dict). No global dictionary
+    is needed — Arrow unifies dictionaries when the shuffle concatenates
+    blocks — so this is scale-safe at 10^9 distinct keys. Non-string /
+    missing columns are left untouched. Decode after the shuffle with
+    ``dict_decode_batch``."""
+    import pyarrow as pa
+
+    target = pa.dictionary(pa.int32(), pa.string())
+    for c in cols:
+        if c not in b.column_names:
+            continue
+        col = b[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type):
+            col = col.dictionary_encode().cast(target)
+        elif pa.types.is_dictionary(col.type):
+            col = col.cast(target)
+        else:
+            continue
+        b = b.set_column(b.schema.get_field_index(c), c, col)
+    return b
+
+
+def dict_decode_batch(t, cols):
+    """Inverse of ``dict_encode_batch``: cast dictionary columns back to
+    plain strings (byte-identical round-trip)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for c in cols:
+        if c in t.column_names and pa.types.is_dictionary(t.schema.field(c).type):
+            t = t.set_column(t.schema.get_field_index(c), c, pc.cast(t[c], pa.string()))
+    return t
+
+
 def pool_size(requested: int) -> int:
     """Clamp an actor-pool size so it can never starve upstream stages.
 
