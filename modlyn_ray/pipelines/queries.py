@@ -290,6 +290,92 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def q08_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed ANTI-join (stages/joins.py hash_equi_join how='anti'):
+    customers with no URGENT order, summarized per market segment (the
+    no-order-at-all variant is vacuous on this corpus — every customer
+    orders). One crc32-bucketed side-tagged exchange; the right side ships
+    ONLY its (pre-filtered) key column; per-bucket membership is a
+    joint-dictionary np.isin."""
+    from modlyn_ray.stages.joins import hash_equi_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    nohit = hash_equi_join(
+        cust, orders, left_on="c_custkey", right_on="o_custkey",
+        right_cols=[], how="anti", n_buckets=32,
+    )
+    out = (
+        nohit.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"), Sum("c_acctbal", alias_name="acctbal"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["acctbal"] = _round(out["acctbal"], 2)
+    return out[["c_mktsegment", "n", "acctbal"]]
+
+
+Q08_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS n, round(sum(c_acctbal), 2) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def q09_parts_revenue_hash_join(sf_dir: str) -> pd.DataFrame:
+    """Distributed INNER hash equi-join (stages/joins.py): lineitem x part
+    on partkey through ONE bucketed exchange (no broadcast — exercises the
+    big-x-big join path q03's broadcast pattern can't cover), then revenue
+    per part type. Join output feeds a per-batch partial aggregation so the
+    second shuffle carries ~|p_type| rows per block."""
+    from modlyn_ray.stages.joins import hash_equi_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    joined = hash_equi_join(
+        li, part, left_on="l_partkey", right_on="p_partkey",
+        right_cols=["p_type"], how="inner", n_buckets=32,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        df = pd.DataFrame({"p_type": b["p_type"].to_pandas(), "revenue": rev, "n": 1})
+        g = df.groupby("p_type", as_index=False, sort=False).sum()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_type")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["revenue"] = _round(out["revenue"], 2)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["p_type", "revenue", "n"]]
+
+
+Q09_SQL = """
+SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
 # ===========================================================================
 # temporal (SURVEY §2.9 W1-W4 over the events stream)
 # ===========================================================================
@@ -474,6 +560,95 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q16_range_join(sf_dir: str) -> pd.DataFrame:
+    """Bounded time-range join (range_join — the windowed generalization of
+    the as-of join): for each click, EVERY purchase by the same user in the
+    trailing 30-minute window [click.ts - 30m, click.ts]. One bucket-keyed
+    exchange (side-tagged union), per-bucket vectorized interval expansion."""
+    from modlyn_ray.stages.temporal import range_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    purch = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts", "value"]
+    )
+    out = range_join(
+        clicks,
+        purch,
+        value_cols=["value"],
+        by="user_id",
+        ts_col="ts",
+        lo_offset_us=-SESSION_GAP_30M_US,
+        hi_offset_us=0,
+        n_buckets=32,
+    ).to_pandas()
+    out = out[["event_id", "value_rng", "matched_rng_ts"]].rename(
+        columns={"value_rng": "purchase_value", "matched_rng_ts": "purchase_ts"}
+    )
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return out
+
+
+Q16_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, p.value AS purchase_value, p.ts AS purchase_ts
+FROM clicks c JOIN purch p ON c.user_id = p.user_id
+  AND p.ts >= c.ts - INTERVAL 30 MINUTE AND p.ts <= c.ts
+"""
+
+
+def q17_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles (percentile_cont semantics) per return
+    flag — histogram partials in map_batches, one groupby, per-group
+    cumulative-count readoff (stages/aggregates.py)."""
+    from modlyn_ray.stages.aggregates import grouped_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    out = grouped_quantiles(
+        ds, "l_extendedprice", [0.25, 0.5, 0.9, 0.99], ["l_returnflag"]
+    ).to_pandas()
+    out["value"] = _round(out["value"], 6)
+    return out[["l_returnflag", "q", "value"]]
+
+
+Q17_SQL = """
+WITH a AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, [0.25, 0.5, 0.9, 0.99]) AS vs
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, unnest([0.25, 0.5, 0.9, 0.99]) AS q,
+       round(unnest(vs), 6) AS value
+FROM a
+"""
+
+
+def q18_grouped_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation from mergeable moment sketches
+    (stages/aggregates.py grouped_corr): one tiny groupby-sum shuffle."""
+    from modlyn_ray.stages.aggregates import grouped_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    out = grouped_corr(ds, "l_quantity", "l_extendedprice", ["l_returnflag"])
+    out["corr"] = _round(out["corr"], 6)
+    return out[["l_returnflag", "n", "corr"]]
+
+
+Q18_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ===========================================================================
 # text / dedup (documents)
 # ===========================================================================
@@ -645,6 +820,51 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM tri a JOIN tri b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+
+def q26_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Corpus TF-IDF top-50 terms (stages/text.py tfidf_terms): word_stats
+    partial aggregation -> tfidf = occ * ln(N/df) -> distributed sort +
+    limit, deterministic ties by (tfidf desc, word asc) on the ROUNDED
+    score so the SQL oracle's ordering is bit-reproducible."""
+    from modlyn_ray.stages.text import tfidf_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = tfidf_terms(docs)
+
+    def round6(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("tfidf"),
+            "tfidf",
+            pa.array(np.round(b["tfidf"].to_numpy(zero_copy_only=False), 6)),
+        ).replace_schema_metadata(None)
+
+    out = (
+        scored.map_batches(round6, batch_format="pyarrow")
+        .sort(["tfidf", "word"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+    )
+    out["occ"] = out["occ"].astype(np.int64)
+    out["df"] = out["df"].astype(np.int64)
+    out["rn"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["word", "occ", "df", "tfidf", "rn"]]
+
+
+Q26_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ws AS (
+  SELECT word, count(*)::BIGINT AS occ, count(DISTINCT doc_id)::BIGINT AS df
+  FROM ex GROUP BY word),
+s AS (
+  SELECT word, occ, df,
+         round(occ * ln((SELECT count(*)::DOUBLE FROM documents) / df), 6) AS tfidf
+  FROM ws)
+SELECT word, occ, df, tfidf,
+       row_number() OVER (ORDER BY tfidf DESC, word)::BIGINT AS rn
+FROM s ORDER BY tfidf DESC, word LIMIT 50
 """
 
 
@@ -1045,18 +1265,24 @@ QUERIES = {
     "q05_distinct_parts": q05_distinct_parts,
     "q06_union": q06_union,
     "q07_top_orders": q07_top_orders,
+    "q08_customers_without_orders": q08_customers_without_orders,
+    "q09_parts_revenue_hash_join": q09_parts_revenue_hash_join,
     "q10_lag_lead": q10_lag_lead,
     "q11_sessionize": q11_sessionize,
     "q12_backfill": q12_backfill,
     "q13_asof_join": q13_asof_join,
     "q14_hourly_agg": q14_hourly_agg,
     "q15_rolling_window": q15_rolling_window,
+    "q16_range_join": q16_range_join,
+    "q17_grouped_quantiles": q17_grouped_quantiles,
+    "q18_grouped_corr": q18_grouped_corr,
     "q20_word_stats": q20_word_stats,
     "q21_quality": q21_quality,
     "q22_exact_dedup": q22_exact_dedup,
     "q23_lang_id": q23_lang_id,
     "q24_fingerprint": q24_fingerprint,
     "q25_ngram_jaccard": q25_ngram_jaccard,
+    "q26_tfidf": q26_tfidf,
     "q30_ann_topk": q30_ann_topk,
     "q31_embedding_dedup": q31_embedding_dedup,
     "q40_count_stats": q40_count_stats,
@@ -1075,18 +1301,24 @@ ORACLES = {
     "q05_distinct_parts": Q05_SQL,
     "q06_union": Q06_SQL,
     "q07_top_orders": Q07_SQL,
+    "q08_customers_without_orders": Q08_SQL,
+    "q09_parts_revenue_hash_join": Q09_SQL,
     "q10_lag_lead": Q10_SQL,
     "q11_sessionize": Q11_SQL,
     "q12_backfill": Q12_SQL,
     "q13_asof_join": Q13_SQL,
     "q14_hourly_agg": Q14_SQL,
     "q15_rolling_window": Q15_SQL,
+    "q16_range_join": Q16_SQL,
+    "q17_grouped_quantiles": Q17_SQL,
+    "q18_grouped_corr": Q18_SQL,
     "q20_word_stats": Q20_SQL,
     "q21_quality": Q21_SQL,
     "q22_exact_dedup": Q22_SQL,
     "q23_lang_id": Q23_SQL,
     "q24_fingerprint": Q24_SQL,
     "q25_ngram_jaccard": Q25_SQL,
+    "q26_tfidf": Q26_SQL,
     "q30_ann_topk": Q30_SQL,
     "q31_embedding_dedup": Q31_SQL,
     "q40_count_stats": Q40_SQL,

@@ -1,0 +1,216 @@
+"""General distributed equi-joins: bucketed hash inner / semi / anti join,
+plus a broadcast key-filter for small right sides.
+
+The reference delegates joins to pandas ``merge`` / AnnData alignment inside
+one process (SURVEY.md §2 J1-J3); here each join is ONE crc32(key)-bucketed
+exchange — the same co-partitioning contract as the temporal stages
+(stages/temporal.py add_bucket_column), so a pipeline can reuse one
+partitioning across a join followed by windowed/as-of stages.
+
+Execution shape (hash_equi_join):
+- both sides ride a side-tagged union through a single shuffle: the left
+  carries its full row, the right only ``[right_on] + right_cols`` with the
+  remaining left columns null-padded (schemas must match for union);
+- per bucket, the kernel dictionary-encodes the two key columns JOINTLY
+  (one dict; left rows get code c, right rows the same c iff equal), sorts
+  the right side by code once, then resolves each left row's match segment
+  with two global ``np.searchsorted`` calls and expands pairs with
+  ``np.repeat`` index arithmetic — no per-key loop, no pandas hash table;
+- semi/anti skip the expansion entirely: a ``np.isin`` membership mask over
+  the joint codes filters the left rows in place.
+
+Scale notes: inner-join output is sum over left rows of their key's right
+multiplicity — pre-aggregate the right side when only aggregates of the
+match set are needed. Known-hot keys go to dedicated buckets via ``heavy``
+(same skew contract as the temporal exchange). For a right side small
+enough to broadcast (dimension tables), ``broadcast_semi_join`` ships the
+key set once via ``ray.put`` and needs NO shuffle at all (the pattern q03
+uses for its dense int lookup join, pipelines/queries.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from modlyn_ray.stages.temporal import add_bucket_column
+from modlyn_ray.util import dict_decode_batch, dict_encode_batch
+
+
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    return ds.schema().base_schema
+
+
+def _combined(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _joint_codes(l_key: pa.Array, r_key: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Dictionary-encode both key columns through ONE shared dictionary and
+    return (left_codes, right_codes) as int64 — equal values share a code."""
+    nl = len(l_key)
+    joint = pa.chunked_array([l_key, r_key]).combine_chunks().dictionary_encode()
+    codes = joint.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes[:nl], codes[nl:]
+
+
+def hash_equi_join(
+    left: Dataset,
+    right: Dataset,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    how: str = "inner",
+    n_buckets: int = 64,
+    heavy: dict[str, int] | None = None,
+) -> Dataset:
+    """Distributed equi-join in ONE bucket-keyed exchange.
+
+    ``how``: "inner" (left columns + ``right_cols`` per matching right row,
+    one output row per match pair), "semi" (left rows with >=1 match, left
+    columns only), or "anti" (left rows with NO match, left columns only).
+
+    ``right_cols`` must be disjoint from the left schema (rename upstream
+    with a ``map_batches`` projection if needed); ignored for semi/anti.
+    """
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"how must be inner|semi|anti, got {how!r}")
+    l_schema = _arrow_schema(left)
+    lcols = list(l_schema.names)
+    if how != "inner":
+        right_cols = []
+    clash = set(right_cols) & set(lcols)
+    if clash:
+        raise ValueError(f"right_cols clash with left schema: {sorted(clash)}")
+    r_schema = _arrow_schema(right)
+    vtypes = {c: r_schema.field(c).type for c in right_cols}
+    union_cols = lcols + right_cols
+    key_is_string = pa.types.is_string(l_schema.field(left_on).type)
+    slim_l = (left_on,) if key_is_string else ()
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        b = dict_encode_batch(b, slim_l)
+        for c in right_cols:
+            b = b.append_column(c, pa.nulls(len(b), vtypes[c]))
+        return b.append_column(
+            "__side", pa.array(np.zeros(len(b), dtype=np.int8))
+        ).replace_schema_metadata(None)
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        n = len(b)
+        arrays = []
+        for c in lcols:
+            if c == left_on:
+                arrays.append(_combined(b[right_on]))
+            else:
+                arrays.append(pa.nulls(n, l_schema.field(c).type))
+        for c in right_cols:
+            arrays.append(b[c])
+        t = dict_encode_batch(pa.table(dict(zip(union_cols, arrays))), slim_l)
+        return t.append_column(
+            "__side", pa.array(np.ones(n, dtype=np.int8))
+        ).replace_schema_metadata(None)
+
+    l_aug = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+    r_aug = right.select_columns([right_on, *right_cols]).map_batches(
+        pad_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = add_bucket_column(
+        l_aug.union(r_aug), key=left_on, n_buckets=n_buckets, heavy=heavy
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        group = dict_decode_batch(group, slim_l)
+        side = _combined(group["__side"]).to_numpy(zero_copy_only=False)
+        ltbl = group.filter(pa.array(side == 0)).drop_columns(
+            ["__side", "bucket"] + right_cols
+        )
+        rtbl = group.filter(pa.array(side == 1))
+        if how == "inner":
+            return _inner_kernel(
+                ltbl, rtbl, left_on=left_on, right_cols=right_cols, vtypes=vtypes
+            )
+        return _membership_kernel(ltbl, rtbl, left_on=left_on, anti=(how == "anti"))
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def _membership_kernel(ltbl: pa.Table, rtbl: pa.Table, *, left_on: str, anti: bool) -> pa.Table:
+    nl, nr = len(ltbl), len(rtbl)
+    if nl == 0:
+        return ltbl
+    if nr == 0:
+        return ltbl if anti else ltbl.slice(0, 0)
+    lcodes, rcodes = _joint_codes(_combined(ltbl[left_on]), _combined(rtbl[left_on]))
+    mask = np.isin(lcodes, rcodes)
+    return ltbl.filter(pa.array(~mask if anti else mask))
+
+
+def _inner_kernel(
+    ltbl: pa.Table, rtbl: pa.Table, *, left_on: str, right_cols: list[str], vtypes: dict
+) -> pa.Table:
+    nl, nr = len(ltbl), len(rtbl)
+    if nl == 0 or nr == 0:
+        out = ltbl.slice(0, 0)
+        for c in right_cols:
+            out = out.append_column(c, pa.nulls(0, vtypes[c]))
+        return out
+    lcodes, rcodes = _joint_codes(_combined(ltbl[left_on]), _combined(rtbl[left_on]))
+    order = np.argsort(rcodes, kind="stable")
+    rcodes_s = rcodes[order]
+    start = np.searchsorted(rcodes_s, lcodes, side="left")
+    end = np.searchsorted(rcodes_s, lcodes, side="right")
+    counts = end - start
+    total = int(counts.sum())
+    if total == 0:
+        out = ltbl.slice(0, 0)
+        for c in right_cols:
+            out = out.append_column(c, pa.nulls(0, vtypes[c]))
+        return out
+    left_rep = np.repeat(np.arange(nl, dtype=np.int64), counts)
+    csum = np.cumsum(counts) - counts
+    ridx = np.arange(total, dtype=np.int64) - np.repeat(csum, counts) + np.repeat(
+        start, counts
+    )
+    out = ltbl.take(pa.array(left_rep))
+    take_r = pa.array(order[ridx])
+    for c in right_cols:
+        out = out.append_column(c, _combined(rtbl[c]).take(take_r))
+    return out
+
+
+def broadcast_semi_join(
+    left: Dataset,
+    keys,
+    left_on: str,
+    anti: bool = False,
+    concurrency: int | None = None,
+) -> Dataset:
+    """Shuffle-free semi/anti join against a SMALL key set: ``keys`` (numpy
+    array / list) is ``ray.put`` once and read from the object store in each
+    actor's ``__init__``; per-batch membership is one vectorized ``np.isin``.
+    Use when the distinct-key side fits comfortably in a worker heap
+    (dimension tables, qualifying-key lists); otherwise ``hash_equi_join``.
+    """
+    arr = np.unique(np.asarray(keys))
+    ref = ray.put(arr)
+
+    class _Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            col = _combined(b[left_on]).to_numpy(zero_copy_only=False)
+            mask = np.isin(col, self.keys)
+            return b.filter(pa.array(~mask if anti else mask))
+
+    from modlyn_ray.util import pool_size
+
+    return left.map_batches(
+        _Filter,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or pool_size(4),
+    )

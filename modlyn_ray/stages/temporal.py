@@ -539,3 +539,150 @@ def _empty_asof_schema(ltbl: pa.Table, value_cols, vtypes, ts_col, suffix) -> pa
     for c in value_cols:
         out = out.append_column(f"{c}{suffix}", pa.nulls(0, vtypes[c]))
     return out.append_column(f"matched{suffix}_ts", pa.nulls(0, pa.timestamp("us")))
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join
+# ---------------------------------------------------------------------------
+def range_join(
+    left: Dataset,
+    right: Dataset,
+    value_cols: list[str],
+    by: str = "doc_id",
+    ts_col: str = "ingest_ts",
+    lo_offset_us: int = -DEFAULT_SESSION_GAP_US,
+    hi_offset_us: int = 0,
+    suffix: str = "_rng",
+    n_buckets: int = 64,
+    heavy: dict[str, int] | None = None,
+) -> Dataset:
+    """Bounded time-range join (inner): for each left row, EVERY right row of
+    the same key with ``ts_l + lo_offset_us <= ts_r <= ts_l + hi_offset_us``
+    (default: the trailing window ``[ts_l - 1h, ts_l]``). One left row can
+    emit many output rows — the windowed generalization of the as-of join
+    (which keeps only the latest admissible right row).
+
+    Same execution shape as ``asof_join``: both sides co-partitioned by
+    crc32(key) % n_buckets via a side-tagged union (ONE shuffle), per-bucket
+    kernel fully vectorized — right side sorted once by (key, ts), per-left
+    interval bounds resolved with TWO global ``np.searchsorted`` calls over a
+    composite (key_code, ts_rank) int64 key (no per-key Python loop), pair
+    expansion via ``np.repeat`` index arithmetic.
+
+    Output = left columns + ``f"{c}{suffix}"`` per value column +
+    ``f"matched{suffix}_ts"`` (the matched right timestamp). Left rows with
+    no admissible right row are dropped (inner semantics — wrap with a
+    left-anti pass if outer semantics are needed).
+
+    Scale note: output cardinality is sum over left rows of their window
+    occupancy — bound ``hi - lo`` (or pre-aggregate with
+    ``windowize(rolling_cols=...)`` when only windowed SUM/COUNT of a
+    co-keyed stream is needed) so a hot key cannot emit O(n^2) pairs.
+    """
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+    lcols = list(l_schema.names)
+    vtypes = {c: r_schema.field(c).type for c in value_cols}
+    union_cols = lcols + value_cols
+
+    from modlyn_ray.util import dict_decode_batch, dict_encode_batch
+
+    key_is_string = pa.types.is_string(l_schema.field(by).type)
+    slim_cols = (by,) if key_is_string else ()
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        b = dict_encode_batch(b, slim_cols)
+        for c in value_cols:
+            b = b.append_column(c, pa.nulls(len(b), vtypes[c]))
+        return b.append_column("__side", pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        b = dict_encode_batch(b, slim_cols)
+        n = len(b)
+        arrays = []
+        for c in lcols:
+            if c in (by, ts_col):
+                arrays.append(b[c])
+            else:
+                arrays.append(pa.nulls(n, l_schema.field(c).type))
+        for c in value_cols:
+            arrays.append(b[c])
+        t = pa.table(dict(zip(union_cols, arrays)))
+        return t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+
+    l_aug = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+    r_aug = right.select_columns([by, ts_col, *value_cols]).map_batches(
+        pad_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = add_bucket_column(l_aug.union(r_aug), key=by, n_buckets=n_buckets, heavy=heavy)
+
+    def merge(group: pa.Table) -> pa.Table:
+        group = dict_decode_batch(group, slim_cols)
+        side = group["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        ltbl = group.filter(pa.array(side == 0)).drop_columns(["__side", "bucket"] + value_cols)
+        rtbl = group.filter(pa.array(side == 1))
+        return range_join_kernel(
+            ltbl, rtbl, by=by, ts_col=ts_col, value_cols=value_cols,
+            vtypes=vtypes, suffix=suffix,
+            lo_offset_us=lo_offset_us, hi_offset_us=hi_offset_us,
+        )
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def range_join_kernel(
+    ltbl: pa.Table,
+    rtbl: pa.Table,
+    *,
+    by: str,
+    ts_col: str,
+    value_cols: list[str],
+    vtypes: dict,
+    suffix: str,
+    lo_offset_us: int,
+    hi_offset_us: int,
+) -> pa.Table:
+    """Per-bucket vectorized interval-pair expansion (inner join)."""
+    nl, nr = len(ltbl), len(rtbl)
+    if nl == 0 or nr == 0:
+        out = ltbl.slice(0, 0)
+        for c in value_cols:
+            out = out.append_column(f"{c}{suffix}", pa.nulls(0, vtypes[c]))
+        return out.append_column(f"matched{suffix}_ts", pa.nulls(0, pa.timestamp("us")))
+    l_key = ltbl[by].combine_chunks() if isinstance(ltbl[by], pa.ChunkedArray) else ltbl[by]
+    r_key = rtbl[by].combine_chunks() if isinstance(rtbl[by], pa.ChunkedArray) else rtbl[by]
+    joint = pa.chunked_array([l_key, r_key]).combine_chunks().dictionary_encode()
+    codes = joint.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lcodes, rcodes = codes[:nl], codes[nl:]
+    lts = _ts_int(ltbl[ts_col])
+    rts = _ts_int(rtbl[ts_col])
+    order = np.lexsort((rts, rcodes))
+    rcodes_s, rts_s = rcodes[order], rts[order]
+    lo_b = lts + np.int64(lo_offset_us)
+    hi_b = lts + np.int64(hi_offset_us)
+    # composite (key_code, ts_rank) int64 keys: rank every timestamp that
+    # can appear as a bound or a right ts in ONE shared ordering, so a
+    # single global searchsorted resolves per-left segment bounds without a
+    # per-key loop
+    uniq_ts = np.unique(np.concatenate([rts_s, lo_b, hi_b]))
+    m = np.int64(len(uniq_ts) + 1)
+    comp_r = rcodes_s * m + np.searchsorted(uniq_ts, rts_s)
+    start = np.searchsorted(comp_r, lcodes * m + np.searchsorted(uniq_ts, lo_b), side="left")
+    end = np.searchsorted(comp_r, lcodes * m + np.searchsorted(uniq_ts, hi_b), side="right")
+    counts = end - start
+    total = int(counts.sum())
+    if total == 0:
+        out = ltbl.slice(0, 0)
+        for c in value_cols:
+            out = out.append_column(f"{c}{suffix}", pa.nulls(0, vtypes[c]))
+        return out.append_column(f"matched{suffix}_ts", pa.nulls(0, pa.timestamp("us")))
+    left_rep = np.repeat(np.arange(nl, dtype=np.int64), counts)
+    csum = np.cumsum(counts) - counts
+    ridx = np.arange(total, dtype=np.int64) - np.repeat(csum, counts) + np.repeat(start, counts)
+    out = ltbl.take(pa.array(left_rep))
+    take_r = pa.array(order[ridx])
+    for c in value_cols:
+        col = rtbl[c].combine_chunks() if isinstance(rtbl[c], pa.ChunkedArray) else rtbl[c]
+        out = out.append_column(f"{c}{suffix}", col.take(take_r))
+    mts = pa.array(rts_s[ridx], type=pa.timestamp("us"))
+    return out.append_column(f"matched{suffix}_ts", mts)

@@ -156,6 +156,75 @@ def word_stats(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def tfidf_terms(ds: Dataset, text_col: str = "text", n_docs: int | None = None) -> Dataset:
+    """Corpus-level TF-IDF per word: occ (total term frequency), df
+    (document frequency), ``tfidf = occ * ln(n_docs / df)``.
+
+    Built on the ``word_stats`` partial-aggregation path (one shuffle over
+    per-batch (word, occ, df) partials); ``n_docs`` is a cheap count if not
+    supplied. Callers rank by (tfidf desc, word asc) for deterministic
+    top-k — see q26 in pipelines/queries.py for the SQL-oracled query.
+    """
+    if n_docs is None:
+        n_docs = ds.count()
+    stats = word_stats(
+        ds.map_batches(
+            lambda b: b.append_column(
+                "__g", pa.array(np.zeros(len(b), dtype=np.int8))
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        ),
+        group_col="__g",
+        text_col=text_col,
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        occ = b["occ"].to_numpy()
+        df = b["df"].to_numpy()
+        tfidf = occ * np.log(float(n_docs) / df)
+        return pa.table(
+            {"word": b["word"], "occ": b["occ"], "df": b["df"], "tfidf": pa.array(tfidf)}
+        )
+
+    return stats.map_batches(score, batch_format="pyarrow")
+
+
+# BPE-ish pre-tokenizer split: letter runs | digit runs | punctuation runs
+# (the GPT-2 pre-tokenizer family's shape without its lookbehind, which RE2
+# does not support — RE2 is what BOTH Arrow's count_substring_regex and
+# DuckDB's regexp_extract_all compile, so engine and oracle agree exactly).
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_counts(
+    ds: Dataset, text_col: str = "text", pattern: str = BPE_SPLIT_PATTERN
+) -> Dataset:
+    """Per-doc token counting under a BPE-ish pre-tokenizer regex:
+    ``n_tokens`` (non-overlapping matches of ``pattern``) and
+    ``chars_per_token`` — a cheap proxy for BPE fertility used to rank
+    corpora before running a real tokenizer. One vectorized RE2 kernel
+    (``pc.count_substring_regex``) per batch; no per-row Python."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = (
+            pc.count_substring_regex(text, pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        cpt = np.divide(n_chars, n_tok, out=np.zeros(len(batch)), where=n_tok > 0)
+        return (
+            batch.append_column("n_tokens", pa.array(n_tok))
+            .append_column("chars_per_token", pa.array(cpt))
+            .replace_schema_metadata(None)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_scores(ds: Dataset, text_col: str = "text") -> Dataset:
     """Per-doc quality signals: n_words, n_chars, avg word length, stopword
     ratio, distinct-word ratio — all vectorized arrow/numpy."""
