@@ -249,17 +249,15 @@ def run_scaling() -> dict:
         r = one(n)
         if n not in res or r["value"] < res[n]["value"]:
             res[n] = r
-    have_4_16 = 4 in res and 16 in res
-    eff_8_32 = (res[8]["value"] / res[32]["value"]) / 4
-    eff_4_16 = (res[4]["value"] / res[16]["value"]) / 4 if have_4_16 else None
+    # every measured N -> 4N pair (whatever GRAFT_SCALING_LEVELS provided)
+    pairs = [(n, 4 * n) for n in sorted(res) if 4 * n in res]
+    if not pairs:
+        raise SystemExit(f"GRAFT_SCALING_LEVELS={base_levels} contains no N,4N pair")
     hw_burn, hw_copy = {}, {}
     for n in sorted(set(base_levels)) * 2:
         hw_burn[n] = max(hw_burn.get(n, 0.0), _hw_throughput(n, _burn))
         hw_copy[n] = max(hw_copy.get(n, 0.0), _hw_throughput(n, _copy))
-    burn_8_32 = hw_burn[32] / hw_burn[8]
-    burn_4_16 = hw_burn[16] / hw_burn[4] if have_4_16 else None
-    copy_8_32 = hw_copy[32] / hw_copy[8]
-    copy_4_16 = hw_copy[16] / hw_copy[4] if have_4_16 else None
+
     # pipeline resource mix for normalization: the timed headline is
     # roughly half vectorized compute, half shuffle (BASELINE.md); the
     # blended hardware ceiling is the harmonic combination of the two
@@ -267,26 +265,28 @@ def run_scaling() -> dict:
     def blend(burn, copy):
         return 2.0 / (1.0 / burn + 1.0 / copy)
 
-    sp_8_32 = res[8]["value"] / res[32]["value"]
-    sp_4_16 = res[4]["value"] / res[16]["value"] if have_4_16 else None
-    rnd = lambda x: round(x, 3) if x is not None else None  # noqa: E731
+    eff, burn_sp, copy_sp, norm_eff = {}, {}, {}, {}
+    for lo, hi in pairs:
+        tag = f"{lo}_{hi}"
+        sp = res[lo]["value"] / res[hi]["value"]
+        eff[tag] = round(sp / 4.0, 3)
+        burn_sp[tag] = round(hw_burn[hi] / hw_burn[lo], 3)
+        copy_sp[tag] = round(hw_copy[hi] / hw_copy[lo], 3)
+        norm_eff[tag] = round(sp / blend(burn_sp[tag], copy_sp[tag]), 3)
+    # headline value = the LARGEST measured pair (the stated 8->32 when
+    # present) — never the best-scoring pair
+    lo, hi = pairs[-1]
     return {
-        # headline value = the stated N->4N pair (8->32); the below-knee
-        # 4->16 pair is reported alongside, never cherry-picked into "value"
-        "metric": "scaling efficiency (throughput at 32 CPUs / 4x throughput at 8 CPUs)",
-        "value": round(eff_8_32, 3),
+        "metric": f"scaling efficiency (throughput at {hi} CPUs / 4x throughput at {lo} CPUs)",
+        "value": eff[f"{lo}_{hi}"],
         "unit": "ratio",
         "profile": os.environ.get("GRAFT_SCALING_PROFILE", "scale"),
-        "efficiency_8_to_32": round(eff_8_32, 3),
-        "efficiency_4_to_16": rnd(eff_4_16),
+        "efficiency": eff,
         "sec": {str(n): res[n]["value"] for n in res},
         "seq_per_sec": {str(n): res[n]["sequences_per_sec"] for n in res},
-        "hw_burn_speedup": {"8_32": round(burn_8_32, 3), "4_16": rnd(burn_4_16)},
-        "hw_copy_speedup": {"8_32": round(copy_8_32, 3), "4_16": rnd(copy_4_16)},
-        "hw_normalized_efficiency_8_to_32": round(sp_8_32 / blend(burn_8_32, copy_8_32), 3),
-        "hw_normalized_efficiency_4_to_16": rnd(
-            sp_4_16 / blend(burn_4_16, copy_4_16) if have_4_16 else None
-        ),
+        "hw_burn_speedup": burn_sp,
+        "hw_copy_speedup": copy_sp,
+        "hw_normalized_efficiency": norm_eff,
         "note": "single virtualized box: a 4x-node cluster adds memory bandwidth "
         "and NICs with each node; this box shares one bus across all workers — "
         "the copy-kernel speedup is the shuffle stage's physical ceiling here. "

@@ -649,6 +649,40 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q19_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-stratum hash sampling (stages/sampling.py):
+    down-sample LOW-priority orders to ~5%, keep ~50% of URGENT, drop the
+    rest — the class-rebalancing move before training. Row membership is a
+    pure function of md5(o_orderkey), so the subset is identical under any
+    partitioning; summarized per priority for a compact stable result."""
+    from modlyn_ray.stages.sampling import stratified_hash_sample
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    kept = stratified_hash_sample(
+        orders, "o_orderkey", "o_orderpriority", {"1-URGENT": 0.5, "5-LOW": 0.05}
+    )
+    out = (
+        kept.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="price"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["price"] = _round(out["price"], 2)
+    return out[["o_orderpriority", "n", "price"]]
+
+
+Q19_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS price
+FROM orders
+WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::INT <
+      CASE o_orderpriority WHEN '1-URGENT' THEN 32768 WHEN '5-LOW' THEN 3276 ELSE 0 END
+GROUP BY o_orderpriority
+"""
+
+
 # ===========================================================================
 # text / dedup (documents)
 # ===========================================================================
@@ -868,6 +902,28 @@ FROM s ORDER BY tfidf DESC, word LIMIT 50
 """
 
 
+def q27_token_counts(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish regex token counting (stages/text.py token_counts): per-doc
+    token count + chars/token under the RE2 pre-tokenizer split — Arrow's
+    count_substring_regex and DuckDB's regexp_extract_all compile the SAME
+    RE2 pattern, so the oracle matches exactly."""
+    from modlyn_ray.stages.text import BPE_SPLIT_PATTERN, token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = token_counts(docs).to_pandas()
+    out["chars_per_token"] = _round(out["chars_per_token"], 6)
+    assert "'" not in BPE_SPLIT_PATTERN  # pattern is spliced into the oracle SQL
+    return out[["doc_id", "n_tokens", "chars_per_token"]]
+
+
+Q27_SQL = """
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT AS n_tokens,
+       round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) = 0 THEN 0.0
+             ELSE length(text)::DOUBLE / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) END, 6) AS chars_per_token
+FROM documents
+"""
+
+
 # ===========================================================================
 # embeddings: similarity search
 # ===========================================================================
@@ -1019,6 +1075,44 @@ SELECT source AS class, token_id,
              6) AS score,
        'wilcoxon' AS method
 FROM frs
+"""
+
+
+def q42_event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Distributed long->wide pivot (stages/aggregates.py pivot_wide):
+    hourly event counts, one column per event type. The transpose happens
+    inside map_batches (per-batch partial pivot), so the single shuffle
+    carries |hours| x |types| pre-pivoted partials, never raw events."""
+    from modlyn_ray.stages.aggregates import pivot_wide
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        return (
+            b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour"))
+            .drop_columns(["ts"])
+            .replace_schema_metadata(None)
+        )
+
+    long = ev.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    out = pivot_wide(long, ["hour"], "event_type").to_pandas()
+    # the partial pivot's pandas round-trip downcasts the truncated ts to
+    # second precision; the oracle (and the events schema) are timestamp[us]
+    out["hour"] = out["hour"].astype("datetime64[us]")
+    for c in out.columns:
+        if c != "hour":
+            out[c] = out[c].astype(np.int64)
+    return out
+
+
+Q42_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) FILTER (event_type = 'click')::BIGINT AS click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS view
+FROM events GROUP BY 1
 """
 
 
@@ -1276,6 +1370,7 @@ QUERIES = {
     "q16_range_join": q16_range_join,
     "q17_grouped_quantiles": q17_grouped_quantiles,
     "q18_grouped_corr": q18_grouped_corr,
+    "q19_stratified_sample": q19_stratified_sample,
     "q20_word_stats": q20_word_stats,
     "q21_quality": q21_quality,
     "q22_exact_dedup": q22_exact_dedup,
@@ -1283,10 +1378,12 @@ QUERIES = {
     "q24_fingerprint": q24_fingerprint,
     "q25_ngram_jaccard": q25_ngram_jaccard,
     "q26_tfidf": q26_tfidf,
+    "q27_token_counts": q27_token_counts,
     "q30_ann_topk": q30_ann_topk,
     "q31_embedding_dedup": q31_embedding_dedup,
     "q40_count_stats": q40_count_stats,
     "q41_wilcoxon": q41_wilcoxon,
+    "q42_event_type_pivot": q42_event_type_pivot,
     "q50_logreg_weights": q50_logreg_weights,
     "q51_jaccard_eval": q51_jaccard_eval,
     "q52_pit_features": q52_pit_features,
@@ -1312,6 +1409,7 @@ ORACLES = {
     "q16_range_join": Q16_SQL,
     "q17_grouped_quantiles": Q17_SQL,
     "q18_grouped_corr": Q18_SQL,
+    "q19_stratified_sample": Q19_SQL,
     "q20_word_stats": Q20_SQL,
     "q21_quality": Q21_SQL,
     "q22_exact_dedup": Q22_SQL,
@@ -1319,10 +1417,12 @@ ORACLES = {
     "q24_fingerprint": Q24_SQL,
     "q25_ngram_jaccard": Q25_SQL,
     "q26_tfidf": Q26_SQL,
+    "q27_token_counts": Q27_SQL,
     "q30_ann_topk": Q30_SQL,
     "q31_embedding_dedup": Q31_SQL,
     "q40_count_stats": Q40_SQL,
     "q41_wilcoxon": Q41_SQL,
+    "q42_event_type_pivot": Q42_SQL,
     "q51_jaccard_eval": Q51_SQL,
     "q52_pit_features": Q52_SQL,
     # q50 (iterative minibatch SGD) and q53 (iterative full-batch Adam) are

@@ -258,6 +258,89 @@ def test_grouped_corr_degenerate_group_is_nan(ray_session):
     assert np.isnan(out["corr"].iloc[0])
 
 
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_hash_sample_partitioning_invariant(ray_session, n_blocks):
+    """The kept subset is a pure function of the key — identical under any
+    partitioning and any rate-consistent re-run."""
+    from modlyn_ray.stages.sampling import hash_sample
+
+    keys = pa.table({"k": pa.array(np.arange(2000, dtype=np.int64))})
+    ds = rd.from_arrow(keys).repartition(n_blocks)
+    kept = sorted(hash_sample(ds, "k", 0.2).to_pandas()["k"])
+    # ~20% with md5 uniformity; exact set fixed forever
+    assert 300 < len(kept) < 500
+    kept2 = sorted(hash_sample(rd.from_arrow(keys).repartition(3), "k", 0.2).to_pandas()["k"])
+    assert kept == kept2
+    # monotone: raising the rate only ADDS rows (nested subsets)
+    kept_half = set(hash_sample(ds, "k", 0.5).to_pandas()["k"])
+    assert set(kept) <= kept_half
+
+
+def test_stratified_hash_sample_rates_and_drop(ray_session):
+    from modlyn_ray.stages.sampling import stratified_hash_sample
+
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "cls": pa.array(["big" if i % 2 else "small" for i in range(n)]),
+        }
+    )
+    out = stratified_hash_sample(
+        rd.from_arrow(t), "k", "cls", {"big": 0.1, "small": 1.0}
+    ).to_pandas()
+    small = out[out["cls"] == "small"]
+    big = out[out["cls"] == "big"]
+    assert len(small) == n // 2  # rate 1.0 keeps every row
+    assert 100 < len(big) < 300  # ~10%
+    # stratum absent from fracs -> dropped entirely
+    out2 = stratified_hash_sample(rd.from_arrow(t), "k", "cls", {"small": 0.5}).to_pandas()
+    assert (out2["cls"] == "small").all()
+
+
+def test_token_counts_matches_re(ray_session):
+    import re
+
+    from modlyn_ray.stages.text import BPE_SPLIT_PATTERN, token_counts
+
+    texts = ["Hello, world! It's 42", "", "a1b2 c--d  __x", "naïve café—ok?"]
+    t = pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64)), "text": texts})
+    out = token_counts(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    pat = re.compile(BPE_SPLIT_PATTERN)
+    want = [len(pat.findall(s)) for s in texts]
+    assert out["n_tokens"].tolist() == want
+    assert out.loc[out["doc_id"] == 1, "chars_per_token"].iloc[0] == 0.0
+
+
+def test_pivot_wide_counts_and_sums(ray_session):
+    from modlyn_ray.stages.aggregates import pivot_wide
+
+    t = pa.table(
+        {
+            "g": pa.array(["x", "x", "y", "y", "y"]),
+            "cat": pa.array(["a", "b", "a", "a", "c"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    cnt = (
+        pivot_wide(rd.from_arrow(t).repartition(3), ["g"], "cat")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert cnt[["a", "b", "c"]].to_numpy().tolist() == [[1, 1, 0], [2, 0, 1]]
+    sums = (
+        pivot_wide(rd.from_arrow(t), ["g"], "cat", value_col="v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert sums[["a", "b", "c"]].to_numpy().tolist() == [[1.0, 2.0, 0.0], [7.0, 0.0, 5.0]]
+    # explicit category list pins the schema even if a category is absent
+    pinned = pivot_wide(rd.from_arrow(t), ["g"], "cat", categories=["a", "b", "c", "z"])
+    assert "z" in pinned.to_pandas().columns
+
+
 def test_tfidf_terms_matches_direct(ray_session):
     from modlyn_ray.stages.text import tfidf_terms
 
