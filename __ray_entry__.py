@@ -4,11 +4,14 @@
 (tokenized into the engine's sequences contract). ``queries()`` exposes one
 callable per implemented operator family from SURVEY.md §2;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query except
-q50 (iterative minibatch SGD) and q53 (iterative full-batch Adam) — the
-genuinely non-SQL-expressible pipelines, rows-only + numpy-oracle parity
-in tests/test_logreg.py.
-Count-stats / wilcoxon / jaccard / PIT all carry full value-level oracles
-(md5 token-id scheme + window SQL).
+the genuinely non-SQL-expressible pipelines, each parity-checked in pytest
+instead: q50/q53 (iterative Adam training — numpy-oracle allclose in
+tests/test_logreg.py), q32/q33 (hash-specific minhash-LSH / simhash
+pruning — the verify math is oracle-checked by q25 and the outputs are
+partitioning-invariance-tested), q34 (iterative k-means — reports recall
+vs the in-query brute-force oracle).
+Count-stats / wilcoxon / jaccard / PIT / streaming-sessionize all carry
+full value-level oracles (md5 token-id scheme + window SQL).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().

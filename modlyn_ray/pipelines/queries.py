@@ -976,6 +976,147 @@ WHERE a.vec_id < 500 AND b.vec_id < 500
 """
 
 
+def q32_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Scale-path near-dup clustering (stages/dedup.py minhash_lsh_dedup):
+    shingle -> minhash -> band -> bucket groupby -> distributed exact-Jaccard
+    verify -> min-label-propagation connected components. Rows-only (the LSH
+    pruning is hash-specific, not SQL-expressible); the verify math itself is
+    oracle-checked by q25 and the partitioning-invariance test guarantees
+    this exact output is stable across any block structure."""
+    from modlyn_ray.stages.dedup import minhash_lsh_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = minhash_lsh_dedup(docs, jaccard_threshold=0.8).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
+    out["is_kept"] = out["is_kept"].astype(bool)
+    return (
+        out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "cluster_id", "is_kept"]]
+    )
+
+
+def q33_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs within hamming<=3 (stages/dedup.py
+    simhash_dedup: pigeonhole 16-bit chunk candidates, tiled popcount
+    verify). Rows-only: the 64-bit simhash signature is hash-specific."""
+    from modlyn_ray.stages.dedup import simhash_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = simhash_dedup(docs, max_hamming=3).to_pandas()
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    out["hamming"] = out["hamming"].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b", "hamming"]]
+
+
+def q34_knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate-NN recall vs the brute-force oracle (stages/ann.py):
+    sampled-k-means coarse quantizer, broadcast centroids, n_probe cells.
+    Rows-only single-row summary (k-means assignment is iterative)."""
+    from modlyn_ray.stages.ann import knn_brute, knn_ivf, make_queries, train_ivf_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = make_queries(ds, 10)
+    brute = knn_brute(ds, q, k=5)
+    # the synthetic embeddings are near-uniform (weak cluster structure),
+    # so recall needs a wide probe: 8 cells / probe 4 measures 0.92 at
+    # sf0.01 vs 0.58 for 16/4
+    cents = train_ivf_centroids(ds, n_centroids=8)
+    ivf = knn_ivf(ds, q, k=5, centroids=cents, n_probe=4)
+    truth = set(zip(brute["query_id"], brute["neighbor_id"]))
+    got = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(truth & got) / max(1, len(truth))
+    return pd.DataFrame(
+        {"n_queries": [10], "k": [5], "n_true": [len(truth)], "recall_floor": [float(recall >= 0.6)]}
+    )
+
+
+def q37_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters (stages/sketches.py): bounded-memory
+    frequent values — exchange volume is #blocks x capacity, independent of
+    cardinality. With capacity >= total distinct values the sketch is
+    provably exact, so this query carries a full SQL oracle; the
+    approximate regime (truncation error bound, merge guarantee) is
+    pytest-covered."""
+    from modlyn_ray.stages.sketches import heavy_hitters
+
+    ev = _events(sf_dir, ["event_type"])
+    out = heavy_hitters(ev, "event_type", k=5, capacity=1024)
+    out["count"] = out["count"].astype(np.int64)
+    return out[["value", "count"]]
+
+
+Q37_SQL = """
+SELECT event_type AS value, count(*)::BIGINT AS count
+FROM events GROUP BY 1 ORDER BY count DESC, value LIMIT 5
+"""
+
+
+def q36_approx_distinct(sf_dir: str) -> pd.DataFrame:
+    """HLL approximate distinct users (stages/sketches.py): per-block
+    2^12-byte registers, tree-merged max — ZERO shuffle, vs q05's exact
+    path which exchanges the whole key set. Rows-only (the estimator is not
+    SQL-expressible) but fully deterministic and partitioning-invariant
+    (fixed hash, max-merge); the row embeds the engine-computed exact count
+    and a 5%-relative-error flag so the check is self-validating."""
+    from modlyn_ray.stages.sketches import approx_distinct
+
+    ev = _events(sf_dir, ["user_id"])
+    est = approx_distinct(ev, "user_id", p=12)
+    exact = ev.unique("user_id")
+    n_exact = len(exact)
+    return pd.DataFrame(
+        {
+            "column": ["user_id"],
+            "exact": [np.int64(n_exact)],
+            "hll_estimate": [round(est, 1)],
+            "within_5pct": [bool(abs(est - n_exact) / max(1, n_exact) < 0.05)],
+        }
+    )
+
+
+def q35_streaming_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Streaming sessionizer (stages/streaming.py SessionActor): the SAME
+    30-min-gap session rule as q11, computed INCREMENTALLY by stateful
+    actors fed an ordered log in simulated drops — per-key state (last ts,
+    session counter) carries across drops, so session ids continue without
+    recomputation. Oracle = the identical window SQL as q11; matching it
+    hash-for-hash proves the streaming path is byte-equivalent to batch."""
+    from modlyn_ray.stages.streaming import process_ordered_stream
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    # the ordered-log contract: each drop carries its keys CONTIGUOUS and
+    # ts-ascending (SessionActor consults carried state only at segment
+    # heads), and drops arrive in global event-time order so per-key
+    # timelines never go backwards across drops
+    drops = [
+        b.select(["event_id", "user_id", "ts"])
+        .rename_columns(["event_id", "doc_id", "ingest_ts"])
+        .sort_by(
+            [("doc_id", "ascending"), ("ingest_ts", "ascending"), ("event_id", "ascending")]
+        )
+        for b in ev.sort(["ts", "event_id"]).iter_batches(
+            batch_size=2048, batch_format="pyarrow"
+        )
+    ]
+    out, _states = process_ordered_stream(
+        drops, n_actors=4, gap_us=SESSION_GAP_30M_US, on_source_change=False
+    )
+    pdf = out.select(["event_id", "session_id"]).to_pandas()
+    pdf["session_id"] = pdf["session_id"].astype(np.int64)
+    return pdf
+
+
+Q35_SQL = """
+SELECT event_id,
+       (sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+FROM (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+"""
+
+
 # ===========================================================================
 # sequences-core pipelines (synthetic input_hint table; non-SQL-expressible
 # parts run as rows-only checks)
@@ -1381,6 +1522,12 @@ QUERIES = {
     "q27_token_counts": q27_token_counts,
     "q30_ann_topk": q30_ann_topk,
     "q31_embedding_dedup": q31_embedding_dedup,
+    "q32_minhash_dedup": q32_minhash_dedup,
+    "q33_simhash_pairs": q33_simhash_pairs,
+    "q34_knn_ivf_recall": q34_knn_ivf_recall,
+    "q35_streaming_sessionize": q35_streaming_sessionize,
+    "q36_approx_distinct": q36_approx_distinct,
+    "q37_heavy_hitters": q37_heavy_hitters,
     "q40_count_stats": q40_count_stats,
     "q41_wilcoxon": q41_wilcoxon,
     "q42_event_type_pivot": q42_event_type_pivot,
@@ -1420,13 +1567,16 @@ ORACLES = {
     "q27_token_counts": Q27_SQL,
     "q30_ann_topk": Q30_SQL,
     "q31_embedding_dedup": Q31_SQL,
+    "q35_streaming_sessionize": Q35_SQL,
+    "q37_heavy_hitters": Q37_SQL,
     "q40_count_stats": Q40_SQL,
     "q41_wilcoxon": Q41_SQL,
     "q42_event_type_pivot": Q42_SQL,
     "q51_jaccard_eval": Q51_SQL,
     "q52_pit_features": Q52_SQL,
-    # q50 (iterative minibatch SGD) and q53 (iterative full-batch Adam) are
-    # the genuinely non-SQL-expressible pipelines -> rows-only driver
-    # checks; numeric parity is enforced by tests/test_logreg.py against
-    # the deterministic numpy oracles.
+    # Rows-only (genuinely non-SQL-expressible), each parity-checked in
+    # pytest instead: q50/q53 (iterative Adam training, numpy-oracle
+    # allclose), q32/q33 (hash-specific LSH/simhash pruning; the verify
+    # math is oracle-checked by q25 and partitioning-invariance tests),
+    # q34 (iterative k-means; reports recall vs the in-query brute oracle).
 }

@@ -361,3 +361,89 @@ def test_tfidf_terms_matches_direct(ray_session):
         np.testing.assert_allclose(
             r["tfidf"], occ[r["word"]] * np.log(4.0 / df[r["word"]]), rtol=1e-12
         )
+
+def test_streaming_query_equals_batch_sessionize(ray_session):
+    """q35 (streaming actors over an ordered log) must byte-match q11
+    (batch windowize) — the same 30-min-gap rule, two execution paths."""
+    from modlyn_ray.pipelines.queries import q11_sessionize, q35_streaming_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    batch = q11_sessionize(sf).sort_values("event_id").reset_index(drop=True)
+    stream = q35_streaming_sessionize(sf).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(batch, stream)
+
+
+def test_minhash_query_covers_exact_dups(ray_session):
+    """q32: rows cover every doc exactly once; byte-identical docs must land
+    in the same cluster with exactly one keeper."""
+    from modlyn_ray.pipelines.queries import q32_minhash_dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = q32_minhash_dedup(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+    j = out.merge(docs, on="doc_id")
+    for _txt, grp in j.groupby("text"):
+        assert grp["cluster_id"].nunique() == 1
+    keepers = out.groupby("cluster_id")["is_kept"].sum()
+    assert (keepers == 1).all()
+
+def test_hll_accuracy_and_merge(ray_session):
+    from modlyn_ray.stages.sketches import (
+        approx_distinct,
+        hll_estimate,
+        hll_register_partial,
+        merge_registers,
+    )
+
+    n = 20_000
+    vals = pa.array([f"user_{i % 7919}" for i in range(n)])  # 7919 distinct
+    # accuracy on one block
+    est = hll_estimate(hll_register_partial(vals, p=12))
+    assert abs(est - 7919) / 7919 < 0.05
+    # merge(a, b) == whole: registers are a max-semilattice
+    a = hll_register_partial(vals.slice(0, n // 2), p=12)
+    b = hll_register_partial(vals.slice(n // 2), p=12)
+    whole = hll_register_partial(vals, p=12)
+    assert (merge_registers(a, b) == whole).all()
+    # distributed path: estimate is partitioning-invariant
+    t = pa.table({"u": vals})
+    e1 = approx_distinct(rd.from_arrow(t).repartition(1), "u")
+    e7 = approx_distinct(rd.from_arrow(t).repartition(7), "u")
+    assert e1 == e7
+    assert abs(e1 - 7919) / 7919 < 0.05
+    # int columns hash through the same DuckDB kernel
+    ints = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64) % 1000)})
+    ei = approx_distinct(rd.from_arrow(ints), "k")
+    assert abs(ei - 1000) / 1000 < 0.08
+
+def test_mg_heavy_hitters_exact_and_bounded(ray_session):
+    from modlyn_ray.stages.sketches import heavy_hitters, mg_merge, mg_partial
+
+    # skewed corpus: value i appears (50-i)^2 times
+    reps = [(f"v{i:02d}", (50 - i) ** 2) for i in range(50)]
+    vals = [v for v, c in reps for _ in range(c)]
+    rng = np.random.default_rng(0)
+    vals = [vals[j] for j in rng.permutation(len(vals))]
+    t = pa.table({"c": pa.array(vals)})
+
+    # capacity >= distinct -> exact, any partitioning
+    out = heavy_hitters(rd.from_arrow(t).repartition(5), "c", k=3, capacity=64)
+    assert out["value"].tolist() == ["v00", "v01", "v02"]
+    assert out["count"].tolist() == [2500, 2401, 2304]
+
+    # truncating regime: top item survives with count within n/(cap+1) * #merges
+    n = len(vals)
+    cap = 8
+    out2 = heavy_hitters(rd.from_arrow(t).repartition(5), "c", k=3, capacity=cap)
+    assert "v00" in out2["value"].tolist()
+    got = int(out2.loc[out2["value"] == "v00", "count"].iloc[0])
+    assert got <= 2500 and 2500 - got <= n  # lower bound, bounded error
+
+    # merge law: mg_merge(a, b) over disjoint halves covers the top item
+    # with the same guarantee as one pass
+    a = mg_partial(pa.array(vals[: n // 2]), cap)
+    b = mg_partial(pa.array(vals[n // 2 :]), cap)
+    m = mg_merge(a, b, cap)
+    assert len(m) <= cap
+    assert m.get("v00", 0) <= 2500 and 2500 - m.get("v00", 0) <= 2 * (n // 2)
