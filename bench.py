@@ -322,8 +322,73 @@ def run_scaling() -> dict:
     }
 
 
+def run_dedup_bench() -> dict:
+    """Timing row for MinHash+LSH dedup on the 10^5-doc corpus (the same
+    deterministic construction as tests/test_dedup_scale.py: 99,700 random
+    8-word docs + 100 planted families of 3 near-identical variants).
+    Measures the fully distributed path — banding, bucketed candidate
+    pairs, vectorized exact-Jaccard verify, min-label propagation."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from modlyn_ray.stages.dedup import minhash_lsh_dedup
+
+    rng = np.random.default_rng(42)
+    n_unique, n_families = 99_700, 100
+    texts = [
+        " ".join(f"w{v}" for v in row)
+        for row in rng.integers(0, 50_000, (n_unique, 8))
+    ]
+    for f in range(n_families):
+        base = [f"f{f}_{v}" for v in rng.integers(0, 1000, 20)]
+        for v in range(3):
+            texts.append(" ".join(base[:-1] + [f"var{v}"]))
+    n_docs = len(texts)
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(n_docs, dtype=np.int64)), "text": pa.array(texts)}
+    )
+
+    n_buckets = max(32, num_cpus * 2)
+    minhash_lsh_dedup(rd.from_arrow(tbl).repartition(num_cpus), n_buckets=n_buckets).count()  # warmup
+    rounds = []
+    for _ in range(int(os.environ.get("GRAFT_BENCH_ROUNDS", "3"))):
+        t0 = time.perf_counter()
+        out_rows = minhash_lsh_dedup(
+            rd.from_arrow(tbl).repartition(num_cpus), n_buckets=n_buckets
+        ).count()
+        rounds.append(round(time.perf_counter() - t0, 3))
+        assert out_rows == n_docs, (out_rows, n_docs)
+    best = min(rounds)
+    result = {
+        "metric": f"minhash_lsh_dedup wall time ({n_docs} docs, {n_families} planted near-dup families)",
+        "value": best,
+        "unit": "sec",
+        "rounds": rounds,
+        "docs_per_sec": round(n_docs / best, 1),
+        "num_cpus": num_cpus,
+        "hw_burn_tasks_per_sec": round(_hw_throughput(8, _burn), 3),
+    }
+    ray.shutdown()
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--dedup-bench" in sys.argv:
+        print(json.dumps(run_dedup_bench()))
     else:
         print(json.dumps(run_benchmark()))
