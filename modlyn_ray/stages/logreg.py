@@ -491,7 +491,9 @@ class LogRegScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         logits = batch_logits(batch, self.W, self.b, self.log1p)
         pred = logits.argmax(axis=1)
-        return batch.append_column("pred_source", pa.array(self.classes[pred].tolist()))
+        return batch.append_column(
+            "pred_source", pa.array(self.classes[pred].tolist())
+        ).replace_schema_metadata(None)
 
 
 def predict(ds: Dataset, model: LogRegModel, concurrency: int = 4, batch_size: int = 4096) -> Dataset:

@@ -96,6 +96,7 @@ class MediaFeaturizer:
             .append_column(
                 "features", pa.array(list(feats), type=pa.list_(pa.float32()))
             )
+            .replace_schema_metadata(None)
         )
 
 

@@ -272,6 +272,7 @@ def quality_scores(ds: Dataset, text_col: str = "text") -> Dataset:
             .append_column("avg_word_len", pa.array(avg_word_len))
             .append_column("stop_ratio", pa.array(stop_ratio))
             .append_column("distinct_ratio", pa.array(distinct_ratio))
+            .replace_schema_metadata(None)
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -304,7 +305,9 @@ class LangId:
         none = scores.max(axis=1) == 0
         langs = np.asarray(LANG_ORDER, dtype=object)[best]
         langs[none] = "und"
-        return batch.append_column("lang_pred", pa.array(langs.tolist(), type=pa.string()))
+        return batch.append_column(
+            "lang_pred", pa.array(langs.tolist(), type=pa.string())
+        ).replace_schema_metadata(None)
 
 
 def lang_id(ds: Dataset, concurrency: int = 2, batch_size: int = 4096) -> Dataset:
@@ -368,8 +371,10 @@ class Fingerprinter:
             for k in range(max_len):
                 active = lens > k
                 h[active] = (h[active] * self.FNV_PRIME) ^ c[idx0[active] + k]
-        return batch.append_column("md5", md5s).append_column(
-            "rolling_hash", pa.array(h.view(np.int64))
+        return (
+            batch.append_column("md5", md5s)
+            .append_column("rolling_hash", pa.array(h.view(np.int64)))
+            .replace_schema_metadata(None)
         )
 
 
