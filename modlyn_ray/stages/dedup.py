@@ -95,19 +95,35 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 # shingles + minhash
 # ---------------------------------------------------------------------------
-def _word_shingle_hashes(texts: list[str], n: int) -> list[np.ndarray]:
-    """Per doc: array of DISTINCT 64-bit hashes of word n-gram shingles.
+def _as_string_array(texts) -> pa.Array:
+    """Normalize a list[str] / Arrow column to a flat pa.string() array with
+    the historical ``str(x)`` null treatment (None -> \"None\")."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        return pa.array([str(x) for x in texts], type=pa.string())
+    if texts.type != pa.string():
+        texts = texts.cast(pa.string())
+    if texts.null_count:
+        texts = pc.fill_null(texts, "None")
+    return texts
 
-    Batch-vectorized: one Arrow split over all texts, crc32 once per
-    DISTINCT word, then the shingle hash is a positional polynomial
-    combine of the n word hashes (h_i*P^(n-1) + ... + h_{i+n-1}, wrapping
-    mod 2^64) computed with n shifted numpy views over the flat token
-    array — no per-shingle string joins, no per-doc Python in the common
-    case. Docs shorter than n words fall back to crc32(text)."""
-    m = len(texts)
+
+def _word_shingle_hashes_flat(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' DISTINCT 64-bit word-n-gram shingle hashes as one flat
+    uint64 array plus int64 doc offsets (len m+1); within a doc the hashes
+    are sorted ascending.
+
+    Fully vectorized ACROSS docs (no per-doc Python): one Arrow split over
+    all texts, crc32 once per DISTINCT word, shingle hash = positional
+    polynomial combine of n shifted views over the flat token array, then a
+    single lexsort dedupes within every doc at once. Docs shorter than n
+    words fall back to crc32(text) (Python only over those rows)."""
+    col = _as_string_array(texts)
+    m = len(col)
     if m == 0:
-        return []
-    words = pc.split_pattern(pa.array(texts, type=pa.string()), " ")
+        return np.zeros(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    words = pc.split_pattern(col, " ")
     flat = words.flatten()
     offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offs = offs - offs[0]
@@ -127,23 +143,47 @@ def _word_shingle_hashes(texts: list[str], n: int) -> list[np.ndarray]:
                 comb = comb * P + h[k : total - n + 1 + k]
         else:
             comb = np.zeros(0, dtype=np.uint64)
-    out: list[np.ndarray] = []
-    for i in range(m):
-        ln = lens[i]
-        if ln < n:
-            out.append(np.array([zlib.crc32(texts[i].encode())], dtype=np.uint64))
-            continue
-        s = offs[i]
-        seg = comb[s : s + ln - n + 1]  # start positions fully inside doc i
-        out.append(np.unique(seg))
-    return out
+    # shingle-start positions fully inside each doc: doc i contributes
+    # comb[offs[i] : offs[i] + max(lens[i]-n+1, 0)]
+    k_per_doc = np.maximum(lens - n + 1, 0)
+    doc_of = np.repeat(np.arange(m, dtype=np.int64), k_per_doc)
+    seg_start = np.repeat(offs[:-1], k_per_doc)
+    within = np.arange(len(doc_of), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(k_per_doc)[:-1])), k_per_doc
+    )
+    seg = comb[seg_start + within]
+    # dedupe within every doc in one pass: sort by (doc, hash), keep firsts
+    order = np.lexsort((seg, doc_of))
+    sd, dd = seg[order], doc_of[order]
+    keep = np.ones(len(sd), dtype=bool)
+    keep[1:] = (dd[1:] != dd[:-1]) | (sd[1:] != sd[:-1])
+    sd, dd = sd[keep], dd[keep]
+    # short docs (< n words): crc32 of the whole text, one value each
+    short = np.flatnonzero(k_per_doc == 0)
+    if len(short):
+        short_vals = np.array(
+            [zlib.crc32(t.encode()) for t in col.take(pa.array(short)).to_pylist()],
+            dtype=np.uint64,
+        )
+        dd = np.concatenate([dd, short])
+        sd = np.concatenate([sd, short_vals])
+        order = np.argsort(dd, kind="stable")
+        dd, sd = dd[order], sd[order]
+    counts = np.bincount(dd, minlength=m)
+    out_offs = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    return sd, out_offs
 
 
 def minhash_signatures(
-    texts: list[str], num_perm: int = 64, ngram: int = 3, seed: int = 1
+    texts: "list[str] | pa.Array | pa.ChunkedArray",
+    num_perm: int = 64,
+    ngram: int = 3,
+    seed: int = 1,
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 signatures; sig[p] = min over shingles of
     the multiply-shift permutation  v = (a_p * h + b_p) mod 2^64.
+    Accepts an Arrow string column directly (zero Python-string round-trip).
 
     Hash family rationale (ADVICE r1): with ODD a_p, x -> a_p*x + b_p mod
     2^64 is a BIJECTION of Z_2^64 whose ordering scrambles the crc32
@@ -155,13 +195,35 @@ def minhash_signatures(
     rng = np.random.default_rng(seed)
     a = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
-    sigs = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    flat_h, offs = _word_shingle_hashes_flat(texts, ngram)
+    m = len(offs) - 1
+    sigs = np.full((m, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    total = len(flat_h)
+    if total == 0:
+        return sigs
+    # tiled segment-min: permute a tile of shingles (bounded memory), then
+    # np.minimum.reduceat over the doc boundaries inside the tile — one
+    # numpy call per permutation x ~64k shingles instead of one per doc.
+    # Layout matters: (num_perm, tile) with a contiguous multiply per
+    # permutation row is ~5x faster than the broadcast h[:,None]*a+b
+    # (strided uint64 inner loops defeat SIMD). Every doc has >= 1 shingle
+    # (short docs carry the crc32 fallback), so offsets are strictly
+    # increasing and reduceat segments are never empty.
+    tile = 1 << 16
+    vals = np.empty((num_perm, min(tile, total)), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for i, h in enumerate(_word_shingle_hashes(texts, ngram)):
-            if len(h) == 0:
-                continue
-            vals = h[:, None] * a[None, :] + b[None, :]  # wraps mod 2^64
-            sigs[i] = vals.min(axis=0)
+        for t0 in range(0, total, tile):
+            t1 = min(total, t0 + tile)
+            seg = flat_h[t0:t1]
+            v = vals[:, : t1 - t0]
+            for j in range(num_perm):
+                np.multiply(seg, a[j], out=v[j])  # wraps mod 2^64
+                v[j] += b[j]
+            d0 = int(np.searchsorted(offs, t0, side="right")) - 1
+            d1 = int(np.searchsorted(offs, t1, side="left"))
+            bounds = np.maximum(offs[d0:d1] - t0, 0)
+            part = np.minimum.reduceat(v, bounds, axis=1)  # (num_perm, docs)
+            np.minimum(sigs[d0:d1], part.T, out=sigs[d0:d1])
     return sigs
 
 
@@ -401,10 +463,9 @@ def minhash_lsh_dedup(
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        texts = [str(x) for x in batch[text_col].to_pylist()]
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sigs = minhash_signatures(texts, num_perm, ngram, seed)
-        n = len(texts)
+        sigs = minhash_signatures(batch[text_col], num_perm, ngram, seed)
+        n = len(batch)
         band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
         # band hash = crc-mix of the band's rows
         resh = sigs.reshape(n, bands, rows_per_band)
@@ -474,15 +535,15 @@ def minhash_lsh_dedup(
     # per-doc sorted shingle-hash sets as a list<int64> column (computed
     # once, joined to pairs on both sides — texts never leave the cluster)
     def shingle_batch(b: pa.Table) -> pa.Table:
-        texts = [str(x) for x in b[text_col].to_pylist()]
-        hs = _word_shingle_hashes(texts, ngram)
-        offs = np.zeros(len(hs) + 1, dtype=np.int64)
-        np.cumsum([len(h) for h in hs], out=offs[1:])
-        flat = np.concatenate([np.sort(h) for h in hs]).view(np.int64)
+        # flat hashes arrive sorted within each doc — exactly the
+        # list<int64> layout the verify kernel's sorted-merge expects
+        flat_u, offs = _word_shingle_hashes_flat(b[text_col], ngram)
         return pa.table(
             {
                 id_col: b[id_col],
-                "sh": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(flat_u.view(np.int64))
+                ),
             }
         )
 
@@ -620,15 +681,17 @@ def _anti_join(
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
-def simhash_signatures(texts: list[str]) -> np.ndarray:
+def simhash_signatures(texts: "list[str] | pa.Array | pa.ChunkedArray") -> np.ndarray:
     """64-bit SimHash over word hashes weighted by term count — fully
     batch-vectorized: one Arrow split over all texts, crc32 per DISTINCT
     word (dictionary encode), then 64 bincount bit-votes across every doc
-    at once (no per-doc Python loop)."""
-    n = len(texts)
+    at once (no per-doc Python loop). Accepts an Arrow string column
+    directly (no Python-string round-trip)."""
+    col = _as_string_array(texts)
+    n = len(col)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
-    words = pc.split_pattern(pa.array(texts, type=pa.string()), " ")
+    words = pc.split_pattern(col, " ")
     flat = words.flatten()
     offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offs = offs - offs[0]
@@ -663,10 +726,9 @@ def simhash_dedup(
     (chunk_idx, chunk_value), verified by popcount."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
-        texts = [str(x) for x in batch[text_col].to_pylist()]
-        sig = simhash_signatures(texts)
+        sig = simhash_signatures(batch[text_col])
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        n = len(texts)
+        n = len(batch)
         chunk_idx = np.tile(np.arange(4, dtype=np.int64), n)
         chunks = np.empty(4 * n, dtype=np.int64)
         for c in range(4):

@@ -188,3 +188,62 @@ def test_embedding_dedup_and_ann():
     top_lsh = knn_lsh(ds, q, k=3, n_planes=4)
     joined = top.merge(top_lsh, on=["query_id", "neighbor_id"], how="inner")
     assert len(joined) / len(top) >= 0.5
+
+
+def test_shingle_kernel_flat_matches_per_doc_reference():
+    """The cross-doc vectorized shingle/minhash kernels must be
+    bit-identical to the definitional per-doc computation (unique word
+    n-gram polynomial hashes; multiply-shift min per permutation),
+    including short-doc crc32 fallback, empty strings, duplicate docs,
+    Arrow vs list input, and docs crossing the 2^16-shingle tile."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from modlyn_ray.stages.dedup import _word_shingle_hashes_flat
+
+    def ref_shingles(text: str, n: int) -> np.ndarray:
+        ws = text.split(" ")
+        if len(ws) < n:
+            return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
+        P = np.uint64(1099511628211)
+        out = []
+        with np.errstate(over="ignore"):
+            for i in range(len(ws) - n + 1):
+                h = np.uint64(0)
+                for w in ws[i : i + n]:
+                    h = h * P + np.uint64(zlib.crc32(w.encode()))
+                out.append(h)
+        return np.unique(np.array(out, dtype=np.uint64))
+
+    rng = np.random.default_rng(11)
+    texts = [
+        " ".join(f"w{v}" for v in rng.integers(0, 80, int(rng.integers(0, 12))))
+        for _ in range(400)
+    ]
+    texts += ["", "a b", texts[0], " ".join(f"t{v}" for v in rng.integers(0, 999, 70000))]
+    flat, offs = _word_shingle_hashes_flat(texts, 3)
+    assert len(offs) == len(texts) + 1
+    for i, t in enumerate(texts):
+        seg = flat[offs[i] : offs[i + 1]]
+        assert np.array_equal(seg, ref_shingles(t, 3)), i
+        assert np.array_equal(seg, np.sort(seg))  # sorted within doc
+
+    # signatures: definitional min over permutations, list vs Arrow input
+    num_perm = 32
+    rng2 = np.random.default_rng(1)
+    a = (
+        rng2.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    b = rng2.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    sigs = minhash_signatures(texts, num_perm=num_perm, seed=1)
+    sigs_arrow = minhash_signatures(
+        pa.array(texts, type=pa.string()), num_perm=num_perm, seed=1
+    )
+    assert np.array_equal(sigs, sigs_arrow)
+    with np.errstate(over="ignore"):
+        for i in (0, 5, len(texts) - 2, len(texts) - 1):
+            h = ref_shingles(texts[i], 3)
+            expect = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+            assert np.array_equal(sigs[i], expect), i
