@@ -9,7 +9,8 @@ instead: q50/q53 (iterative Adam training — numpy-oracle allclose in
 tests/test_logreg.py), q32/q33 (hash-specific minhash-LSH / simhash
 pruning — the verify math is oracle-checked by q25 and the outputs are
 partitioning-invariance-tested), q34 (iterative k-means — reports recall
-vs the in-query brute-force oracle).
+vs the in-query brute-force oracle), q36 (HLL estimate — self-validating
+against the embedded exact distinct count).
 Count-stats / wilcoxon / jaccard / PIT / streaming-sessionize all carry
 full value-level oracles (md5 token-id scheme + window SQL).
 

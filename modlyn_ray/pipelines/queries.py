@@ -927,6 +927,21 @@ FROM documents
 # ===========================================================================
 # embeddings: similarity search
 # ===========================================================================
+def q28_normalize(sf_dir: str) -> pd.DataFrame:
+    """Text normalization (lowercase + ASCII-whitespace collapse + trim) —
+    the canonical pre-dedup cleanup; Arrow C kernels end to end."""
+    from modlyn_ray.stages.normalize import normalize_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(ds).to_pandas()[["doc_id", "text_norm"]]
+
+
+Q28_SQL = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
 def q30_ann_topk(sf_dir: str) -> pd.DataFrame:
     from modlyn_ray.stages.ann import knn_brute, make_queries
 
@@ -1520,6 +1535,7 @@ QUERIES = {
     "q25_ngram_jaccard": q25_ngram_jaccard,
     "q26_tfidf": q26_tfidf,
     "q27_token_counts": q27_token_counts,
+    "q28_normalize": q28_normalize,
     "q30_ann_topk": q30_ann_topk,
     "q31_embedding_dedup": q31_embedding_dedup,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1565,6 +1581,7 @@ ORACLES = {
     "q25_ngram_jaccard": Q25_SQL,
     "q26_tfidf": Q26_SQL,
     "q27_token_counts": Q27_SQL,
+    "q28_normalize": Q28_SQL,
     "q30_ann_topk": Q30_SQL,
     "q31_embedding_dedup": Q31_SQL,
     "q35_streaming_sessionize": Q35_SQL,
