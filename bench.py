@@ -8,6 +8,11 @@ Scaling evidence (north rule: N vs 4N):
     python bench.py --scaling      # fresh processes at 8/32 and 4/16 CPUs over
                                    # the SAME 8M-row SCALE corpus; prints both
                                    # efficiencies + hardware calibration
+    # knobs: GRAFT_SCALING_PROFILE=scale32 (32M rows — the BASELINE.md
+    # round-3 corpus), GRAFT_SCALING_LEVELS=8,32, GRAFT_SCALING_REPEATS=3
+    # (interleaved repeat cycles, per-level minima)
+Dedup timing row:
+    python bench.py --dedup-bench  # minhash_lsh_dedup over the 100k-doc corpus
 
 Headline = the flagship point-in-time feature pipeline (windowize + as-of +
 prefix accumulators) over the deterministic synthetic sequences corpus
@@ -78,10 +83,10 @@ def run_benchmark() -> dict:
     # sink a whole phase) and report the best (peak sustained throughput),
     # with a burn-kernel calibration reading from the same window so the
     # ambient load is visible in the recorded JSON
-    # 4 rounds: measured round sequences on this box still descend at round
-    # 3 (e.g. 17.9 -> 15.0 -> 9.6) — a 4th sample costs ~20s and reliably
-    # reaches the steady-state window the best-of reports
-    n_rounds = int(os.environ.get("GRAFT_BENCH_ROUNDS", "4"))
+    # 5 rounds: measured round sequences on this box still descend at round
+    # 4 (e.g. 21.0 -> 11.6 -> 11.8 -> 10.7) — a 5th sample costs ~20s and
+    # reliably reaches the steady-state window the best-of reports
+    n_rounds = int(os.environ.get("GRAFT_BENCH_ROUNDS", "5"))
     t_pit, t_stats = float("inf"), float("inf")
     pit_all, stats_all = [], []
     stats_rows = 0
