@@ -65,10 +65,14 @@ def run_benchmark() -> dict:
     # num_cpus pays tens of seconds of worker spawn that is not steady-state
     # throughput). One untimed pass of each pipeline, then the timed runs.
     rd.read_parquet(seq_path).count()
+    # narrow_tokens: every synth profile draws tokens over vocab<=32768, so
+    # the dominant shuffle column rides the exchange as list<int16> (safe
+    # cast — raises loudly if the contract were ever violated)
     pit_features(
         rd.read_parquet(seq_path),
         rd.read_parquet(attr_path),
         n_buckets=max(32, num_cpus * 2),
+        narrow_tokens=True,
     ).count()
     count_stats(rd.read_parquet(seq_path)).count()
 
@@ -96,6 +100,7 @@ def run_benchmark() -> dict:
             rd.read_parquet(seq_path),
             rd.read_parquet(attr_path),
             n_buckets=max(32, num_cpus * 2),
+            narrow_tokens=True,
         )
         out_rows = feats.count()
         pit_all.append(round(time.perf_counter() - t0, 3))

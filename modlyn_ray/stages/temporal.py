@@ -52,7 +52,9 @@ DEFAULT_SESSION_GAP_US = 3_600_000_000  # 1 hour
 # bucketing / skew
 # ---------------------------------------------------------------------------
 def _crc_bucket_of_uniques(uniques: list[str], n_buckets: int, heavy: dict[str, int]) -> np.ndarray:
-    out = np.empty(len(uniques), dtype=np.int64)
+    # int32: bucket ids are bounded by n_buckets + len(heavy), and the
+    # column rides every exchange — half the payload of int64
+    out = np.empty(len(uniques), dtype=np.int32)
     for i, u in enumerate(uniques):
         h = heavy.get(u)
         out[i] = h if h is not None else zlib.crc32(str(u).encode()) % n_buckets

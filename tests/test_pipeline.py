@@ -37,6 +37,34 @@ def test_pit_features_end_to_end():
     assert (pdf.loc[m, "matched_asof_ts"] <= pdf.loc[m, "ingest_ts"]).all()
 
 
+def test_pit_narrow_tokens_byte_identical():
+    """narrow_tokens=True (int16 exchange payload) must be byte-identical
+    to the default path — same values, same schema (tokens widened back to
+    list<int32> after the bucket kernel)."""
+    profile = synth.SMALL
+    d = synth.ensure_profile(profile)
+
+    def run(narrow):
+        out = pit_features(
+            rd.read_parquet(f"{d}/sequences"),
+            rd.read_parquet(f"{d}/doc_attrs.parquet"),
+            n_buckets=8,
+            narrow_tokens=narrow,
+        )
+        cat = pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        )
+        order = pa.compute.sort_indices(cat["seq_no"].combine_chunks())
+        return cat.take(order).combine_chunks()
+
+    base, narrow = run(False), run(True)
+    assert base.schema.equals(narrow.schema)
+    assert narrow.schema.field("tokens").type == pa.list_(pa.int32())
+    assert tokens_checksum(narrow) == tokens_checksum(base)
+    for name in base.column_names:
+        assert base[name].equals(narrow[name]), name
+
+
 def test_pit_leakage_ablation():
     """Dropping future rows must leave all features at <= t identical
     (lead1_* excluded — labeled future targets, not features)."""
