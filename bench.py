@@ -46,6 +46,20 @@ def run_benchmark() -> dict:
     import ray.data as rd
 
     ctx = rd.DataContext.get_current()
+    # Push-based sort shuffle: measured A/B on the 32M-row corpus (pinned,
+    # interleaved, same session) — 56.6s vs 86.4s at 32 CPUs (-35%), ~equal
+    # at 8 CPUs (131 vs 141) — the map-side merge that push-based shuffle
+    # adds pays off exactly where the bucket exchange hurts: high fan-out.
+    # GRAFT_SHUFFLE=pull|hash restores the other strategies for A/B runs.
+    _strat = os.environ.get("GRAFT_SHUFFLE", "push")
+    if _strat != "pull":
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = (
+            ShuffleStrategy.HASH_SHUFFLE
+            if _strat == "hash"
+            else ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        )
     ctx.enable_progress_bars = False
     # Ray's default (200) splits reads into ~9k-row blocks regardless of
     # data size; fewer, larger blocks cut task-scheduling overhead and give

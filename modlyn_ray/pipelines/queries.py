@@ -942,6 +942,25 @@ FROM documents
 """
 
 
+def q29_regex_redact(sf_dir: str) -> pd.DataFrame:
+    """PII-scrub-shaped transform: RE2 redaction + per-doc match counts —
+    pyarrow's and DuckDB's regexp engines are both RE2, so the redacted
+    strings match the oracle byte-for-byte."""
+    from modlyn_ray.stages.text import regex_redact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = regex_redact(ds, pattern=r"\b(s\w*|table)\b", replacement="<T>").to_pandas()
+    return out[["doc_id", "redacted", "n_hits"]]
+
+
+Q29_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(s\w*|table)\b', '<T>', 'g') AS redacted,
+       len(regexp_extract_all(text, '\b(s\w*|table)\b'))::BIGINT AS n_hits
+FROM documents
+"""
+
+
 def q30_ann_topk(sf_dir: str) -> pd.DataFrame:
     from modlyn_ray.stages.ann import knn_brute, make_queries
 
@@ -1272,6 +1291,28 @@ FROM events GROUP BY 1
 """
 
 
+def q43_rank_windows(sf_dir: str) -> pd.DataFrame:
+    """SQL ranking window family (ROW_NUMBER / RANK / DENSE_RANK
+    partitioned by user) in one bucket exchange + vectorized segment ops."""
+    from modlyn_ray.stages.ranks import rank_windows
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = rank_windows(
+        ds, by="user_id", ts_col="ts", tie_col="event_id", value_col="value",
+        n_buckets=32,
+    ).to_pandas()
+    return out[["event_id", "user_id", "rn", "rnk", "drnk"]]
+
+
+Q43_SQL = """
+SELECT event_id, user_id,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+  RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
+  DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS drnk
+FROM events
+"""
+
+
 def q50_logreg_weights(sf_dir: str) -> pd.DataFrame:
     """SimpleLogReg-equivalent tall weights over the deterministic synthetic
     sequences table (golden-path trainer). Non-SQL-expressible (iterative
@@ -1536,6 +1577,7 @@ QUERIES = {
     "q26_tfidf": q26_tfidf,
     "q27_token_counts": q27_token_counts,
     "q28_normalize": q28_normalize,
+    "q29_regex_redact": q29_regex_redact,
     "q30_ann_topk": q30_ann_topk,
     "q31_embedding_dedup": q31_embedding_dedup,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1547,6 +1589,7 @@ QUERIES = {
     "q40_count_stats": q40_count_stats,
     "q41_wilcoxon": q41_wilcoxon,
     "q42_event_type_pivot": q42_event_type_pivot,
+    "q43_rank_windows": q43_rank_windows,
     "q50_logreg_weights": q50_logreg_weights,
     "q51_jaccard_eval": q51_jaccard_eval,
     "q52_pit_features": q52_pit_features,
@@ -1582,6 +1625,7 @@ ORACLES = {
     "q26_tfidf": Q26_SQL,
     "q27_token_counts": Q27_SQL,
     "q28_normalize": Q28_SQL,
+    "q29_regex_redact": Q29_SQL,
     "q30_ann_topk": Q30_SQL,
     "q31_embedding_dedup": Q31_SQL,
     "q35_streaming_sessionize": Q35_SQL,
@@ -1589,6 +1633,7 @@ ORACLES = {
     "q40_count_stats": Q40_SQL,
     "q41_wilcoxon": Q41_SQL,
     "q42_event_type_pivot": Q42_SQL,
+    "q43_rank_windows": Q43_SQL,
     "q51_jaccard_eval": Q51_SQL,
     "q52_pit_features": Q52_SQL,
     # Rows-only (genuinely non-SQL-expressible), each parity-checked in

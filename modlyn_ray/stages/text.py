@@ -393,3 +393,32 @@ def fingerprint(
         concurrency=pool_size(concurrency),
         zero_copy_batch=True,
     )
+
+
+def regex_redact(
+    ds,
+    pattern: str,
+    replacement: str = "<T>",
+    text_col: str = "text",
+    out_col: str = "redacted",
+    count_col: str = "n_hits",
+):
+    """PII-scrub-shaped transform: RE2 regex redaction + per-doc hit count.
+
+    Fully vectorized (``pc.replace_substring_regex`` /
+    ``pc.count_substring_regex`` — Arrow's RE2 C++ kernels, the same
+    dialect DuckDB's regexp_replace uses, so the q29 oracle matches
+    byte-for-byte). Stateless map_batches stage: streams at any scale.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def redact(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        red = pc.replace_substring_regex(t, pattern=pattern, replacement=replacement)
+        cnt = pc.cast(pc.count_substring_regex(t, pattern=pattern), pa.int64())
+        return batch.append_column(out_col, red).append_column(count_col, cnt)
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
