@@ -65,6 +65,42 @@ def test_pit_narrow_tokens_byte_identical():
         assert base[name].equals(narrow[name]), name
 
 
+def test_pit_push_based_shuffle_byte_identical():
+    """bench.py defaults to SORT_SHUFFLE_PUSH_BASED; the strategy must be
+    semantically transparent — identical output tables vs the default
+    pull-based sort shuffle."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    profile = synth.SMALL
+    d = synth.ensure_profile(profile)
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+
+    def run():
+        out = pit_features(
+            rd.read_parquet(f"{d}/sequences"),
+            rd.read_parquet(f"{d}/doc_attrs.parquet"),
+            n_buckets=8,
+            narrow_tokens=True,
+        )
+        cat = pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        )
+        order = pa.compute.sort_indices(cat["seq_no"].combine_chunks())
+        return cat.take(order).combine_chunks()
+
+    try:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+        pull = run()
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        push = run()
+    finally:
+        ctx.shuffle_strategy = prev
+    assert pull.schema.equals(push.schema)
+    for name in pull.column_names:
+        assert pull[name].equals(push[name]), name
+
+
 def test_pit_leakage_ablation():
     """Dropping future rows must leave all features at <= t identical
     (lead1_* excluded — labeled future targets, not features)."""
