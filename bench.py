@@ -13,6 +13,8 @@ Scaling evidence (north rule: N vs 4N):
     # (interleaved repeat cycles, per-level minima)
 Dedup timing row:
     python bench.py --dedup-bench  # minhash_lsh_dedup over the 100k-doc corpus
+Shuffle strategy: GRAFT_SHUFFLE=push (default) | pull | hash — push-based
+sort shuffle measured 35% faster at 32 CPUs, ~equal at 8 (see BASELINE.md).
 
 Headline = the flagship point-in-time feature pipeline (windowize + as-of +
 prefix accumulators) over the deterministic synthetic sequences corpus

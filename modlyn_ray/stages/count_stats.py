@@ -273,8 +273,13 @@ def count_stats(
     )
     if shuffle_aggregate:
         # hash-shuffle path: unbounded key spaces (huge vocab x classes).
+        # combine_partials first: a block holds several batch outputs, so a
+        # local merge by key cuts the shuffle input before the exchange.
+        combined = partials.map_batches(
+            combine_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
         agg = (
-            partials.groupby("key")
+            combined.groupby("key")
             .aggregate(
                 Sum("occ", alias_name="occ"),
                 Sum("sumsq", alias_name="sumsq"),

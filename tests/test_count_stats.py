@@ -40,6 +40,25 @@ def test_small_parity():
     _run_parity(synth.SMALL)
 
 
+def test_shuffle_aggregate_path_matches_tree_reduce():
+    """The huge-vocab fallback (groupby shuffle with a local pre-combine)
+    must produce exactly the tree-reduce default's result."""
+    profile = synth.SMALL
+    d = synth.ensure_profile(profile)
+
+    def run(shuffle):
+        return (
+            count_stats(rd.read_parquet(f"{d}/sequences"), shuffle_aggregate=shuffle)
+            .to_pandas()
+            .sort_values(["source", "token_id"])
+            .reset_index(drop=True)
+        )
+
+    tree, shuf = run(False), run(True)
+    shuf = shuf[tree.columns]
+    pd.testing.assert_frame_equal(tree, shuf, check_exact=False, rtol=1e-9, atol=1e-12)
+
+
 def test_partials_are_small():
     # the pre-aggregation must emit far fewer rows than token occurrences
     from modlyn_ray.stages.count_stats import partial_counts
