@@ -326,7 +326,14 @@ def run_scaling() -> dict:
         eff[tag] = round(sp / 4.0, 3)
         burn_sp[tag] = round(hw_burn[hi] / hw_burn[lo], 3)
         copy_sp[tag] = round(hw_copy[hi] / hw_copy[lo], 3)
-        norm_eff[tag] = round(sp / blend(burn_sp[tag], copy_sp[tag]), 3)
+        # normalization is only meaningful when the box actually sped the
+        # calibration kernels up with more procs; an inverted ceiling
+        # (e.g. copy speedup < 1: co-tenant stole the bus mid-window)
+        # would produce a nonsense ratio > 1 — report null instead
+        if burn_sp[tag] > 1.0 and copy_sp[tag] > 1.0:
+            norm_eff[tag] = round(sp / blend(burn_sp[tag], copy_sp[tag]), 3)
+        else:
+            norm_eff[tag] = None
     # headline value = the LARGEST measured pair (the stated 8->32 when
     # present) — never the best-scoring pair
     lo, hi = pairs[-1]
