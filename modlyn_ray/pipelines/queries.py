@@ -1471,24 +1471,21 @@ def q52_pit_features(sf_dir: str) -> pd.DataFrame:
 
     seqs = ev.map_batches(contract, batch_format="pyarrow", zero_copy_batch=True)
 
-    purch = ev.filter(expr="event_type == 'purchase'")
-
-    def dedupe_right(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["user_id", "ts"], as_index=False)["value"].max()
-
-    attrs = (
-        purch.groupby("user_id")
-        .map_groups(dedupe_right, batch_format="pandas")
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "doc_id": pc.cast(b["user_id"], pa.string()),
-                    "ingest_ts": b["ts"],
-                    "attr_val": b["value"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    # No pre-dedupe shuffle: the oracle's max(value) per (user_id, ts) is
+    # reproduced exactly by asof_kernel's greatest-value tie-break among
+    # equal right timestamps (stages/temporal.py asof_kernel rf sort) — the
+    # same trick q13 uses. A per-user_id map_groups here would pay Ray's
+    # per-group overhead once per distinct user (pathological at scale,
+    # stages/dedup.py:21-25).
+    attrs = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["user_id"], pa.string()),
+                "ingest_ts": b["ts"],
+                "attr_val": b["value"],
+            }
+        ),
+        batch_format="pyarrow",
     )
     out = pit_features(
         seqs,

@@ -108,6 +108,19 @@ def pivot_wide(
         categories = [
             str(c) for c in sorted(ds.select_columns([pivot_col]).unique(pivot_col))
         ]
+    # category values become schema column names verbatim: refuse silent
+    # breakage from a category shadowing an index column or two categories
+    # colliding after str() (null pivot/index values are dropped by the
+    # pandas groupby, per the documented contract)
+    str_cats = [str(c) for c in categories]
+    clash = set(str_cats) & set(index_cols)
+    if clash:
+        raise ValueError(
+            f"pivot categories collide with index_cols: {sorted(clash)}"
+        )
+    if len(set(str_cats)) != len(str_cats):
+        dupes = sorted({c for c in str_cats if str_cats.count(c) > 1})
+        raise ValueError(f"pivot categories duplicate after str(): {dupes}")
 
     def partial(b: pa.Table) -> pa.Table:
         cols = index_cols + [pivot_col] + ([value_col] if value_col else [])
@@ -143,7 +156,16 @@ def grouped_corr(
     y_col: str,
     group_cols: list[str],
 ) -> pd.DataFrame:
-    """Per-group Pearson correlation of (x, y) via mergeable moments.
+    """Per-group Pearson correlation of (x, y) via mergeable SHIFTED moments.
+
+    The naive single-pass formula (sxy - sx*sy/n) suffers catastrophic
+    cancellation when |mean| >> stddev (values near 1e9 with small spread).
+    Here every batch centers each group around its first in-batch value (a
+    pilot near the data) and ships (n, shift_x, shift_y, Σdx, Σdy, Σdx²,
+    Σdy², Σdx·dy); the per-group finalize realigns all partials to one
+    common shift with exact closed-form translation identities, so every
+    summed quantity stays centered — numerically equivalent to a two-pass
+    centered computation, still ONE shuffle of K·B partial rows.
 
     Output: one row per group: ``group_cols..., n (int64), corr``.
     ``corr`` is NaN for degenerate groups (zero variance or n < 2).
@@ -151,39 +173,49 @@ def grouped_corr(
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.select(group_cols + [x_col, y_col]).to_pandas()
-        x = df[x_col].to_numpy(dtype=np.float64)
-        y = df[y_col].to_numpy(dtype=np.float64)
+        g = df.groupby(group_cols, sort=False)
+        ax = g[x_col].transform("first").to_numpy(dtype=np.float64)
+        ay = g[y_col].transform("first").to_numpy(dtype=np.float64)
+        dx = df[x_col].to_numpy(dtype=np.float64) - ax
+        dy = df[y_col].to_numpy(dtype=np.float64) - ay
         df = df.assign(
             __n=np.ones(len(df), dtype=np.int64),
-            __sx=x, __sy=y, __sxx=x * x, __syy=y * y, __sxy=x * y,
+            __ax=ax, __ay=ay,
+            __sdx=dx, __sdy=dy, __sdxx=dx * dx, __sdyy=dy * dy, __sdxy=dx * dy,
         )
-        g = df.groupby(group_cols, as_index=False, sort=False)[
-            ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
-        ].sum()
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        out = df.groupby(group_cols, as_index=False, sort=False).agg(
+            n=("__n", "sum"), ax=("__ax", "first"), ay=("__ay", "first"),
+            sdx=("__sdx", "sum"), sdy=("__sdy", "sum"),
+            sdxx=("__sdxx", "sum"), sdyy=("__sdyy", "sum"), sdxy=("__sdxy", "sum"),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    agg = (
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(dtype=np.float64)
+        ax, ay = g["ax"].to_numpy(), g["ay"].to_numpy()
+        sdx, sdy = g["sdx"].to_numpy(), g["sdy"].to_numpy()
+        sdxx, sdyy, sdxy = g["sdxx"].to_numpy(), g["sdyy"].to_numpy(), g["sdxy"].to_numpy()
+        da, db = ax - ax[0], ay - ay[0]
+        ntot = n.sum()
+        sx = (sdx + n * da).sum()
+        sy = (sdy + n * db).sum()
+        sxx = (sdxx + 2.0 * da * sdx + n * da * da).sum()
+        syy = (sdyy + 2.0 * db * sdy + n * db * db).sum()
+        sxy = (sdxy + db * sdx + da * sdy + n * da * db).sum()
+        cov = sxy - sx * sy / ntot
+        vx = sxx - sx * sx / ntot
+        vy = syy - sy * sy / ntot
+        denom = np.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+        corr = cov / denom if denom > 0 and ntot >= 2 else np.nan
+        out = {c: [g[c].iloc[0]] for c in group_cols}
+        out["n"] = np.array([ntot], dtype=np.int64)
+        out["corr"] = np.array([corr], dtype=np.float64)
+        return pd.DataFrame(out)
+
+    return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(group_cols)
-        .aggregate(
-            Sum("__n", alias_name="n"),
-            Sum("__sx", alias_name="sx"),
-            Sum("__sy", alias_name="sy"),
-            Sum("__sxx", alias_name="sxx"),
-            Sum("__syy", alias_name="syy"),
-            Sum("__sxy", alias_name="sxy"),
-        )
+        .map_groups(finalize, batch_format="pandas")
         .to_pandas()
+        .sort_values(group_cols, ignore_index=True)
     )
-    n = agg["n"].to_numpy(dtype=np.float64)
-    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
-    sxx, syy, sxy = agg["sxx"].to_numpy(), agg["syy"].to_numpy(), agg["sxy"].to_numpy()
-    cov = sxy - sx * sy / n
-    vx = sxx - sx * sx / n
-    vy = syy - sy * sy / n
-    denom = np.sqrt(vx * vy)
-    corr = np.divide(cov, denom, out=np.full(len(agg), np.nan), where=denom > 0)
-    out = agg[group_cols].copy()
-    out["n"] = agg["n"].astype(np.int64)
-    out["corr"] = corr
-    return out

@@ -49,11 +49,19 @@ def _combined(col) -> pa.Array:
 
 def _joint_codes(l_key: pa.Array, r_key: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Dictionary-encode both key columns through ONE shared dictionary and
-    return (left_codes, right_codes) as int64 — equal values share a code."""
+    return (left_codes, right_codes) as int64 — equal values share a code.
+
+    SQL equality semantics for NULL keys: NULL matches nothing, not even
+    NULL. Null rows get side-specific sentinel codes (-1 left, -2 right)
+    that can never appear in the other side's code space, so inner/semi
+    joins never emit NULL=NULL pairs and anti-joins KEEP null-key left rows
+    (the NOT EXISTS contract, e.g. the q08 oracle)."""
     nl = len(l_key)
     joint = pa.chunked_array([l_key, r_key]).combine_chunks().dictionary_encode()
-    codes = joint.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    return codes[:nl], codes[nl:]
+    codes = joint.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    lcodes, rcodes = codes[:nl], codes[nl:].copy()
+    rcodes[rcodes == -1] = -2
+    return lcodes, rcodes
 
 
 def hash_equi_join(

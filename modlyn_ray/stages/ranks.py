@@ -52,11 +52,10 @@ def rank_kernel(
         return c
 
     key = col(by)
-    if pa.types.is_string(key.type) or pa.types.is_dictionary(key.type):
-        key = key.dictionary_encode().indices if not pa.types.is_dictionary(key.type) else key.indices
-        user = key.to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        user = key.to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = key.indices if pa.types.is_dictionary(key.type) else key.dictionary_encode().indices
+    # SQL PARTITION BY groups NULL keys together: all null rows share the
+    # sentinel partition -1 (dictionary codes are >= 0, no collision).
+    user = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
     ts = col(ts_col).to_numpy(zero_copy_only=False)
     if ts.dtype.kind == "M":
         ts = ts.astype("datetime64[us]").view(np.int64)

@@ -47,12 +47,21 @@ class _HashSampler:
 
     def _bucket16(self, col: pa.Array) -> np.ndarray:
         """md5(key) -> first 16 bits as int32, via DuckDB's vectorized md5 +
-        hex-cast kernels (matches the SQL oracle's expression verbatim)."""
+        hex-cast kernels (matches the SQL oracle's expression verbatim).
+
+        md5(NULL) is NULL; the SQL oracle's ``WHERE hash < thr`` drops those
+        rows at any rate, so null keys map to sentinel 65536 here — above
+        every admissible threshold (max 65536), never kept."""
         tbl = pa.table({"k": col.cast(pa.string())})  # noqa: F841 — duckdb scans it
         h = self.con.execute(
             "SELECT ('0x' || substr(md5(k), 1, 4))::INT AS h FROM tbl"
         ).arrow().column("h")
-        return h.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            h.combine_chunks()
+            .cast(pa.int64())
+            .fill_null(65536)
+            .to_numpy(zero_copy_only=False)
+        )
 
     def __call__(self, b: pa.Table) -> pa.Table:
         col = b[self.key_col]
@@ -66,10 +75,15 @@ class _HashSampler:
             if isinstance(s, pa.ChunkedArray):
                 s = s.combine_chunks()
             d = s.dictionary_encode()
-            idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            # null strata route to a sentinel slot with threshold 0 (dropped,
+            # matching the oracle: fracs has no NULL stratum)
+            idx = d.indices.fill_null(len(d.dictionary)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
             # threshold per DISTINCT stratum value only (absent -> keep none)
             thr = np.array(
-                [self.thresholds.get(str(u), 0) for u in d.dictionary.to_pylist()],
+                [self.thresholds.get(str(u), 0) for u in d.dictionary.to_pylist()]
+                + [0],
                 dtype=np.int64,
             )
             mask = h < thr[idx] if len(b) else np.zeros(0, dtype=bool)

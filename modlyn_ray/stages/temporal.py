@@ -78,8 +78,14 @@ def add_bucket_column(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         dic = col.dictionary_encode()
-        idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = [str(x) for x in dic.dictionary.to_pylist()]
+        # null keys route to one deterministic bucket via a sentinel slot
+        # appended to the per-batch dictionary (they never MATCH anything —
+        # joins use side-specific null sentinels — but anti-join / as-of
+        # left rows must still reach a bucket to be emitted)
+        idx = dic.indices.fill_null(len(dic.dictionary)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        uniq = [str(x) for x in dic.dictionary.to_pylist()] + ["\x00__null__"]
         b = _crc_bucket_of_uniques(uniq, n_buckets, heavy)
         # metadata stripped: parquet-inherited pandas metadata makes
         # pa.Schema unhashable inside Ray's shuffle schema dedup (warning
@@ -489,7 +495,10 @@ def asof_kernel(
     l_key = ltbl[by].combine_chunks() if isinstance(ltbl[by], pa.ChunkedArray) else ltbl[by]
     r_key = rtbl[by].combine_chunks() if isinstance(rtbl[by], pa.ChunkedArray) else rtbl[by]
     joint = pa.chunked_array([l_key, r_key]).combine_chunks().dictionary_encode()
-    codes = joint.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # NULL keys match nothing (SQL equality): side-specific sentinels, same
+    # contract as joins._joint_codes — null left rows get null attr values.
+    codes = joint.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    codes[nl:][codes[nl:] == -1] = -2
     lf = pd.DataFrame(
         {
             "doc": codes[:nl],
@@ -654,8 +663,12 @@ def range_join_kernel(
     l_key = ltbl[by].combine_chunks() if isinstance(ltbl[by], pa.ChunkedArray) else ltbl[by]
     r_key = rtbl[by].combine_chunks() if isinstance(rtbl[by], pa.ChunkedArray) else rtbl[by]
     joint = pa.chunked_array([l_key, r_key]).combine_chunks().dictionary_encode()
-    codes = joint.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    lcodes, rcodes = codes[:nl], codes[nl:]
+    # NULL keys match nothing (SQL equality): side-specific sentinels — see
+    # joins._joint_codes. Composite-key arithmetic below stays sound: code c
+    # occupies the disjoint range [c*m, c*m + m - 1] even for c in {-1, -2}.
+    codes = joint.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    lcodes, rcodes = codes[:nl], codes[nl:].copy()
+    rcodes[rcodes == -1] = -2
     lts = _ts_int(ltbl[ts_col])
     rts = _ts_int(rtbl[ts_col])
     order = np.lexsort((rts, rcodes))
