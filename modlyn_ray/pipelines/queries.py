@@ -105,57 +105,40 @@ FROM part QUALIFY rn <= 3
 """
 
 
-class _NationJoinPartial:
-    """Actor-pool broadcast join: the customer->nation lookup is shipped
-    ONCE via ray.put and materialized per actor in __init__ (never
-    closure-captured per batch / per task); the per-batch path is a dense
-    numpy take + bincount — no per-row Python."""
+def q03_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dimension INNER join (J2/J3 pattern, stages/joins.py
+    broadcast_inner_join): the customer dim is ray.put once and joined to
+    orders inside each actor with the same vectorized kernel as the
+    shuffled hash join — the fact table never pays an exchange. Per-batch
+    partials then pre-aggregate to (nationkey, revenue) — ~25 rows — before
+    the one tiny groupby; nation names joined at the driver on the 25-row
+    result. Beyond broadcastable dim sizes, switch to hash_equi_join."""
+    from modlyn_ray.stages.joins import broadcast_inner_join
 
-    def __init__(self, lut_ref):
-        self.c2n = ray.get(lut_ref)  # dense int64: custkey -> nationkey
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_inner_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_nationkey"],
+    )
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ck = b["o_custkey"].to_numpy()
-        nk = self.c2n[ck]
-        rev = np.bincount(nk, weights=b["o_totalprice"].to_numpy())
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = np.bincount(nk, weights=b["o_totalprice"].to_numpy(zero_copy_only=False))
         nz = np.flatnonzero(rev)
         return pa.table(
             {"n_nationkey": pa.array(nz.astype(np.int64)), "revenue": pa.array(rev[nz])}
         )
 
-
-def q03_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Broadcast dimension join (J2/J3 pattern): orders -> customer ->
-    nation. The customer dim becomes a dense custkey->nationkey int array
-    broadcast once (ray.put, read in each actor's __init__); per-batch
-    partials aggregate to (nationkey, revenue) — ~25 rows — before the one
-    tiny groupby; nation names joined at the driver on the 25-row result.
-    At TPC-H scale the customer side stays broadcastable (int array, ~8B *
-    n_cust); beyond that, switch to the bucket-keyed hash join pattern."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    nation = rd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    ck = cust["c_custkey"].to_numpy()
-    c2n = np.zeros(int(ck.max()) + 1, dtype=np.int64)
-    c2n[ck] = cust["c_nationkey"].to_numpy()
-    lut_ref = ray.put(c2n)
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    )
-
-    from modlyn_ray.util import pool_size
-
     agg = (
-        orders.map_batches(
-            _NationJoinPartial,
-            fn_constructor_kwargs={"lut_ref": lut_ref},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=pool_size(4),
-        )
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("n_nationkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
         .to_pandas()

@@ -189,6 +189,61 @@ def _inner_kernel(
     return out
 
 
+def broadcast_inner_join(
+    left: Dataset,
+    right: Dataset | pa.Table,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    concurrency: int | None = None,
+) -> Dataset:
+    """Shuffle-free INNER join against a SMALL right side (dimension
+    tables): the right table is materialized once, ``ray.put`` into the
+    object store, and read in each actor's ``__init__`` — the left side
+    never pays an exchange (at 100 TB a 25-row nation table must not cost
+    an all-to-all). Per batch the same vectorized ``_inner_kernel`` as
+    ``hash_equi_join`` runs against the broadcast table (joint dictionary
+    codes + two global searchsorted calls), so semantics — including
+    one-output-row-per-match-pair duplication and SQL NULL-equality (null
+    keys match nothing) — are identical to the shuffled path bit for bit.
+
+    Use when ``|right|`` fits comfortably in a worker heap; otherwise
+    ``hash_equi_join``.
+    """
+    l_schema = _arrow_schema(left)
+    clash = set(right_cols) & set(l_schema.names)
+    if clash:
+        raise ValueError(f"right_cols clash with left schema: {sorted(clash)}")
+    if isinstance(right, Dataset):
+        rtbl = pa.concat_tables(
+            ray.get(right.select_columns([right_on, *right_cols]).to_arrow_refs())
+        )
+    else:
+        rtbl = right.select([right_on, *right_cols])
+    # the kernel resolves both key columns under the LEFT key name
+    rtbl = rtbl.rename_columns([left_on, *right_cols]).combine_chunks()
+    vtypes = {c: rtbl.schema.field(c).type for c in right_cols}
+    ref = ray.put(rtbl)
+
+    class _BcastJoin:
+        def __init__(self):
+            self.rtbl = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return _inner_kernel(
+                b, self.rtbl, left_on=left_on, right_cols=right_cols, vtypes=vtypes
+            )
+
+    from modlyn_ray.util import pool_size
+
+    return left.map_batches(
+        _BcastJoin,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or pool_size(4),
+    )
+
+
 def broadcast_semi_join(
     left: Dataset,
     keys,

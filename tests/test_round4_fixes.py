@@ -126,6 +126,38 @@ def test_asof_join_null_keys_get_null_attrs(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# broadcast_inner_join ≡ hash_equi_join (dup keys, misses, NULLs)
+# ---------------------------------------------------------------------------
+def test_broadcast_inner_join_matches_hash_join(ray_session):
+    from modlyn_ray.stages.joins import broadcast_inner_join, hash_equi_join
+
+    rng = np.random.default_rng(3)
+    keys = [f"k{i}" for i in range(40)]
+    lk = [keys[i] if i % 11 else None for i in rng.integers(0, 40, 500)]
+    left = pa.table(
+        {"k": pa.array(lk), "lv": pa.array(np.arange(500, dtype=np.int64))}
+    )
+    # right: duplicate keys (multiplicity 0-2) + one null
+    rk = [keys[i] for i in rng.integers(0, 30, 45)] + [None]
+    right = pa.table(
+        {"rk": pa.array(rk), "rv": pa.array(np.arange(46, dtype=np.int64))}
+    )
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+    a = (
+        broadcast_inner_join(lds, rds, "k", "rk", ["rv"], concurrency=2)
+        .to_pandas()
+        .sort_values(["lv", "rv"], ignore_index=True)
+    )
+    b = (
+        hash_equi_join(lds, rds, "k", "rk", ["rv"], how="inner", n_buckets=8)
+        .to_pandas()
+        .sort_values(["lv", "rv"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 500  # duplication actually exercised
+
+
+# ---------------------------------------------------------------------------
 # 2. rank_windows with NULL partition keys
 # ---------------------------------------------------------------------------
 def test_rank_kernel_null_partition_is_one_group(ray_session):
