@@ -10,7 +10,9 @@ tests/test_logreg.py), q32/q33 (hash-specific minhash-LSH / simhash
 pruning — the verify math is oracle-checked by q25 and the outputs are
 partitioning-invariance-tested), q34 (iterative k-means — reports recall
 vs the in-query brute-force oracle), q36 (HLL estimate — self-validating
-against the embedded exact distinct count).
+against the embedded exact distinct count), q44 (mergeable quantile
+sketch — self-validating: embeds the exact-path value and the realized
+rank error vs the n/(2K) contract bound, both computed distributed).
 Count-stats / wilcoxon / jaccard / PIT / streaming-sessionize all carry
 full value-level oracles (md5 token-id scheme + window SQL).
 

@@ -1092,6 +1092,88 @@ def q36_approx_distinct(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q44_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Mergeable quantile sketch (grouped_quantiles exact=False) over a
+    CONTINUOUS column — the 100 TB path where the exact histogram would
+    ship one shuffle row per distinct value. Rows-only (the sketch estimate
+    is not SQL-expressible) but SELF-VALIDATING like q36: each row embeds
+    the engine's own exact-path value at the same q plus the realized rank
+    error vs the contract bound n/(2K) (+1 interpolation slack), so the
+    driver's row check rides on an in-query proof of the estimator."""
+    from modlyn_ray.stages.aggregates import grouped_quantiles
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    qs = [0.25, 0.5, 0.9, 0.99]
+    K = 256
+    sk = (
+        grouped_quantiles(li, "l_extendedprice", qs, ["l_returnflag"],
+                          exact=False, sketch_size=K)
+        .to_pandas()
+        .sort_values(["l_returnflag", "q"], ignore_index=True)
+    )
+    ex = (
+        grouped_quantiles(li, "l_extendedprice", qs, ["l_returnflag"], exact=True)
+        .to_pandas()
+        .sort_values(["l_returnflag", "q"], ignore_index=True)
+    )
+    # realized rank of each sketch estimate, measured DISTRIBUTED: per-batch
+    # (count < est, count == est, group size) partials against the 12
+    # broadcast estimates, summed in one tiny groupby — never materializes
+    # the column on the driver
+    targets = list(zip(sk["l_returnflag"], sk["q"], sk["value"]))
+
+    def rank_partial(b: pa.Table) -> pa.Table:
+        fl = b["l_returnflag"].to_pandas().to_numpy()
+        v = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        rows = {"flag": [], "q": [], "lo": [], "eq": [], "n": []}
+        for flag, q, est in targets:
+            vs = v[fl == flag]
+            rows["flag"].append(flag)
+            rows["q"].append(q)
+            rows["lo"].append(int((vs < est).sum()))
+            rows["eq"].append(int((vs == est).sum()))
+            rows["n"].append(len(vs))
+        return pa.table(
+            {
+                "flag": pa.array(rows["flag"]),
+                "q": pa.array(rows["q"], pa.float64()),
+                "lo": pa.array(rows["lo"], pa.int64()),
+                "eq": pa.array(rows["eq"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+            }
+        )
+
+    ranks = (
+        li.map_batches(rank_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["flag", "q"])
+        .aggregate(
+            Sum("lo", alias_name="lo"), Sum("eq", alias_name="eq"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+        .set_index(["flag", "q"])
+    )
+    rank_err = []
+    bound_ok = []
+    for flag, q, est in targets:
+        r = ranks.loc[(flag, q)]
+        err = abs(r["lo"] + r["eq"] / 2.0 - q * (r["n"] - 1))
+        rank_err.append(err)
+        bound_ok.append(bool(err <= r["n"] / (2.0 * K) + 1.0))
+    return pd.DataFrame(
+        {
+            "l_returnflag": sk["l_returnflag"],
+            "q": sk["q"],
+            "value_sketch": _round(sk["value"], 4),
+            "value_exact": _round(ex["value"], 4),
+            "rank_error": _round(pd.Series(rank_err), 1),
+            "within_bound": bound_ok,
+        }
+    )
+
+
 def q35_streaming_sessionize(sf_dir: str) -> pd.DataFrame:
     """Streaming sessionizer (stages/streaming.py SessionActor): the SAME
     30-min-gap session rule as q11, computed INCREMENTALLY by stateful
@@ -1570,6 +1652,7 @@ QUERIES = {
     "q41_wilcoxon": q41_wilcoxon,
     "q42_event_type_pivot": q42_event_type_pivot,
     "q43_rank_windows": q43_rank_windows,
+    "q44_quantile_sketch": q44_quantile_sketch,
     "q50_logreg_weights": q50_logreg_weights,
     "q51_jaccard_eval": q51_jaccard_eval,
     "q52_pit_features": q52_pit_features,

@@ -37,14 +37,36 @@ def grouped_quantiles(
     value_col: str,
     qs: list[float],
     group_cols: list[str] | None = None,
+    exact: bool = True,
+    sketch_size: int = 256,
 ) -> Dataset:
-    """Exact per-group quantiles of ``value_col`` at each q in ``qs``
+    """Per-group quantiles of ``value_col`` at each q in ``qs``
     (percentile_cont / numpy-linear interpolation: position q*(n-1)).
+
+    ``exact=True`` (default): exact-by-histogram — the shuffle ships one row
+    per DISTINCT (group, value) pair per batch. Right for discrete /
+    heavily-duplicated values (and for oracle parity), but a CONTINUOUS
+    float column at 100 TB has distinct≈rows, so the exchange degenerates
+    to O(n) into single per-group tasks.
+
+    ``exact=False``: mergeable equal-frequency quantile sketch — each batch
+    summarizes every group to at most ``sketch_size`` weighted points (the
+    stratum-midpoint order statistics of the batch's sorted values, weights
+    = stratum widths), the shuffle ships only those K·B summary rows, and
+    the finalize interpolates the weighted CDF. Deterministic, partition-
+    invariant rank-error bound: each batch contributes at most
+    n_batch/(2·K) rank uncertainty, so the merged estimate is within
+    n/(2·sketch_size) ranks of exact REGARDLESS of how rows are split into
+    batches — sketch_size=256 → ≤0.2% rank error. This is the 100 TB path
+    for continuous values: bounded exchange, bounded per-group finalize
+    state (K rows per batch per group).
 
     Output: one row per (group, q): ``group_cols... , q, value``.
     """
     group_cols = list(group_cols or [])
     qs_arr = np.asarray(sorted(qs), dtype=np.float64)
+    if not exact:
+        return _sketch_quantiles(ds, value_col, qs_arr, group_cols, sketch_size)
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.select(group_cols + [value_col]).to_pandas()
@@ -82,6 +104,93 @@ def grouped_quantiles(
         )
         res = partials.groupby("__g").map_groups(finalize, batch_format="pandas")
         return res
+    return partials.groupby(group_cols).map_groups(finalize, batch_format="pandas")
+
+
+def _sketch_quantiles(
+    ds: Dataset,
+    value_col: str,
+    qs_arr: np.ndarray,
+    group_cols: list[str],
+    sketch_size: int,
+) -> Dataset:
+    """Equal-frequency weighted-summary sketch (grouped_quantiles
+    exact=False). Per-batch: sort each group's values once (numpy C sort),
+    keep the K stratum-midpoint order statistics with stratum widths as
+    integer weights (Σw = n, no mass lost). Finalize: sort the ≤K·B merged
+    summary points, interpolate the target ranks on the weighted CDF at the
+    points' midpoint ranks. The per-group Python loop inside a batch is
+    bounded by the number of groups co-resident in that batch — quantile
+    group keys are categorical by contract (same as the exact path's
+    finalize fan-out)."""
+    K = int(sketch_size)
+    if K < 2:
+        raise ValueError(f"sketch_size must be >= 2, got {sketch_size}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(group_cols + [value_col]).to_pandas()
+        out_g: dict[str, list] = {c: [] for c in group_cols}
+        out_v: list[np.ndarray] = []
+        out_w: list[np.ndarray] = []
+        groups = (
+            df.groupby(group_cols, sort=False, dropna=True)
+            if group_cols
+            else [((), df)]
+        )
+        for key, sub in groups:
+            v = np.sort(sub[value_col].to_numpy(dtype=np.float64))
+            v = v[~np.isnan(v)]
+            n = len(v)
+            if n == 0:
+                continue
+            if n <= K:
+                vals, wts = v, np.ones(n, dtype=np.int64)
+            else:
+                bnd = np.linspace(0, n, K + 1).round().astype(np.int64)
+                wts = np.diff(bnd)
+                vals = v[(bnd[:-1] + bnd[1:] - 1) // 2]
+            if not isinstance(key, tuple):
+                key = (key,)
+            for c, kv in zip(group_cols, key):
+                out_g[c].append(np.repeat(kv, len(vals)))
+            out_v.append(vals)
+            out_w.append(wts)
+        if not out_v:
+            t = {
+                c: pa.array([], b.schema.field(c).type) for c in group_cols
+            }
+            t["__v"] = pa.array([], pa.float64())
+            t["__w"] = pa.array([], pa.int64())
+            return pa.table(t)
+        cols = {c: pa.array(np.concatenate(out_g[c])) for c in group_cols}
+        cols["__v"] = pa.array(np.concatenate(out_v))
+        cols["__w"] = pa.array(np.concatenate(out_w).astype(np.int64))
+        return pa.table(cols)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["__v"].to_numpy(dtype=np.float64)
+        w = g["__w"].to_numpy(dtype=np.float64)
+        o = np.argsort(v, kind="stable")
+        v, w = v[o], w[o]
+        cum = np.cumsum(w)
+        n = cum[-1]
+        # midpoint 0-based rank of each summary point on the weighted CDF
+        mid_rank = cum - (w + 1.0) / 2.0
+        pos = qs_arr * (n - 1.0)
+        out = {c: np.repeat(g[c].iloc[0], len(qs_arr)) for c in group_cols}
+        out["q"] = qs_arr
+        out["value"] = np.interp(pos, mid_rank, v)
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if not group_cols:
+        partials = partials.map_batches(
+            lambda b: b.append_column(
+                "__g", pa.array(np.zeros(len(b), dtype=np.int8))
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        return partials.groupby("__g").map_groups(finalize, batch_format="pandas")
     return partials.groupby(group_cols).map_groups(finalize, batch_format="pandas")
 
 

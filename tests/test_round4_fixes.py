@@ -236,6 +236,63 @@ def test_pivot_wide_rejects_category_collisions(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# quantile sketch (exact=False): rank error <= n/(2K) vs the exact path
+# ---------------------------------------------------------------------------
+def _rank_of(sorted_vals: np.ndarray, x: float) -> float:
+    lo = np.searchsorted(sorted_vals, x, side="left")
+    hi = np.searchsorted(sorted_vals, x, side="right")
+    return (lo + hi) / 2.0
+
+
+@pytest.mark.parametrize("override_blocks", [4, 17])
+def test_quantile_sketch_rank_error_bound(ray_session, override_blocks):
+    from modlyn_ray.stages.aggregates import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    g = rng.choice(["a", "b", "c"], n, p=[0.7, 0.2, 0.1])
+    # skewed continuous values + a heavy duplicated atom
+    v = np.exp(rng.normal(0.0, 2.0, n))
+    v[rng.random(n) < 0.15] = 3.25
+    tbl = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    ds = rd.from_arrow(tbl).repartition(override_blocks)
+    K = 256
+    got = (
+        grouped_quantiles(ds, "v", qs, ["g"], exact=False, sketch_size=K)
+        .to_pandas()
+        .sort_values(["g", "q"], ignore_index=True)
+    )
+    assert len(got) == 3 * len(qs)
+    for grp in ["a", "b", "c"]:
+        vals = np.sort(v[g == grp])
+        ng = len(vals)
+        sub = got[got["g"] == grp]
+        for q, est in zip(sub["q"], sub["value"]):
+            target = q * (ng - 1)
+            err = abs(_rank_of(vals, est) - target)
+            # contract: <= n/(2K) + interpolation slack; assert the
+            # VERDICT-required 1% bound with margin (K=256 -> ~0.2%)
+            assert err <= max(0.01 * ng, 2.0), (grp, q, err, ng)
+
+
+def test_quantile_sketch_small_group_is_exact(ray_session):
+    from modlyn_ray.stages.aggregates import grouped_quantiles
+
+    # groups smaller than sketch_size in a single batch: sketch == exact
+    v = np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float64)
+    tbl = pa.table({"g": pa.array(["x"] * 4), "v": pa.array(v)})
+    got = (
+        grouped_quantiles(
+            rd.from_arrow(tbl), "v", [0.0, 0.5, 1.0], ["g"], exact=False
+        )
+        .to_pandas()
+        .sort_values("q", ignore_index=True)
+    )
+    np.testing.assert_allclose(got["value"], [1.0, 2.5, 4.0])
+
+
+# ---------------------------------------------------------------------------
 # 5. grouped_corr numerical stability (|mean| >> stddev)
 # ---------------------------------------------------------------------------
 def test_grouped_corr_stable_near_large_means(ray_session):
