@@ -12,7 +12,10 @@ partitioning-invariance-tested), q34 (iterative k-means — reports recall
 vs the in-query brute-force oracle), q36 (HLL estimate — self-validating
 against the embedded exact distinct count), q44 (mergeable quantile
 sketch — self-validating: embeds the exact-path value and the realized
-rank error vs the n/(2K) contract bound, both computed distributed).
+rank error vs the n/(2K) contract bound, both computed distributed), q45
+(engine-produced hashed-n-gram embeddings -> IVF ANN — self-validating
+recall floor vs brute force over the same embeddings; the embedder itself
+is scalar-reference- and partition-invariance-tested in pytest).
 Count-stats / wilcoxon / jaccard / PIT / streaming-sessionize all carry
 full value-level oracles (md5 token-id scheme + window SQL).
 

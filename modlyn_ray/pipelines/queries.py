@@ -1048,6 +1048,38 @@ def q34_knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q45_embed_knn(sf_dir: str) -> pd.DataFrame:
+    """End-to-end 'embed then index' LLM-pipeline shape: engine-PRODUCED
+    embeddings (stages/embed.py hashed char-n-gram projection, actor pool,
+    deterministic) feed the IVF ANN index (stages/ann.py), with recall
+    measured against brute-force cosine over the SAME embeddings. Rows-only
+    (iterative k-means quantizer), self-validating via the recall floor —
+    the same contract q34 uses for precomputed vectors."""
+    from modlyn_ray.stages.ann import knn_brute, knn_ivf, make_queries, train_ivf_centroids
+    from modlyn_ray.stages.embed import embed_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = embed_text(docs, text_col="text", dim=64).drop_columns(["text"])
+    # embedding computed once, consumed by brute + quantizer + IVF
+    emb = emb.materialize()
+    q = make_queries(emb, 10, id_col="doc_id")
+    brute = knn_brute(emb, q, k=5, id_col="doc_id")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    ivf = knn_ivf(emb, q, k=5, centroids=cents, n_probe=4, id_col="doc_id")
+    truth = set(zip(brute["query_id"], brute["neighbor_id"]))
+    got = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(truth & got) / max(1, len(truth))
+    return pd.DataFrame(
+        {
+            "n_queries": [10],
+            "k": [5],
+            "dim": [64],
+            "n_true": [len(truth)],
+            "recall_floor": [float(recall >= 0.6)],
+        }
+    )
+
+
 def q37_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries heavy hitters (stages/sketches.py): bounded-memory
     frequent values — exchange volume is #blocks x capacity, independent of
@@ -1653,6 +1685,7 @@ QUERIES = {
     "q42_event_type_pivot": q42_event_type_pivot,
     "q43_rank_windows": q43_rank_windows,
     "q44_quantile_sketch": q44_quantile_sketch,
+    "q45_embed_knn": q45_embed_knn,
     "q50_logreg_weights": q50_logreg_weights,
     "q51_jaccard_eval": q51_jaccard_eval,
     "q52_pit_features": q52_pit_features,

@@ -236,6 +236,43 @@ def test_pivot_wide_rejects_category_collisions(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# hashed n-gram text embeddings (stages/embed.py)
+# ---------------------------------------------------------------------------
+def _ref_embed(s: str, dim: int) -> np.ndarray:
+    """Per-row scalar reference for the vectorized buffer kernel."""
+    bs = s.encode("utf-8")
+    acc = np.zeros(dim, dtype=np.float64)
+    for i in range(len(bs) - 2):
+        h = (bs[i] * 1099511628211 + bs[i + 1] * 65599 + bs[i + 2]) % (1 << 64)
+        acc[h % dim] += 1.0 if (h >> 13) & 1 else -1.0
+    n = np.linalg.norm(acc)
+    return acc / n if n else acc
+
+
+def test_embed_text_matches_scalar_reference(ray_session):
+    from modlyn_ray.stages.embed import embed_text
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "ab",            # shorter than one trigram -> zero vector
+        "",              # empty
+        None,            # null -> treated as empty
+        "naïve café — ünïcödé ✓ multibyte",
+        "aaaaaaaaaa",    # degenerate repetition
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    out = (
+        embed_text(rd.from_arrow(tbl), dim=16, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    for i, t in enumerate(texts):
+        got = np.asarray(out["embedding"].iloc[i], dtype=np.float64)
+        want = _ref_embed(t or "", 16)
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=str(t))
+
+
+# ---------------------------------------------------------------------------
 # quantile sketch (exact=False): rank error <= n/(2K) vs the exact path
 # ---------------------------------------------------------------------------
 def _rank_of(sorted_vals: np.ndarray, x: float) -> float:
