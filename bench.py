@@ -5,14 +5,22 @@ Plain run (one JSON line on stdout):
     python bench.py                # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
                                    # $RAY_GRAFT_CPUS (default 32)
 Scaling evidence (north rule: N vs 4N):
-    python bench.py --scaling      # fresh processes at 8/32 and 4/16 CPUs over
-                                   # the SAME 8M-row SCALE corpus; prints both
-                                   # efficiencies + hardware calibration
-    # knobs: GRAFT_SCALING_PROFILE=scale32 (32M rows — the BASELINE.md
-    # round-3 corpus), GRAFT_SCALING_LEVELS=8,32, GRAFT_SCALING_REPEATS=3
-    # (interleaved repeat cycles, per-level minima)
+    python bench.py --scaling      # >=5 interleaved WINDOWS (one pass over
+                                   # the levels + same-window calibration
+                                   # kernels each); reports the MEDIAN
+                                   # per-window raw ratio + the full
+                                   # distribution over the 32M-row corpus
+    # knobs: GRAFT_SCALING_PROFILE=scale32, GRAFT_SCALING_LEVELS=8,32,
+    # GRAFT_SCALING_WINDOWS=5, GRAFT_SCALING_ROUNDS=2 (timed rounds per
+    # level invocation)
 Dedup timing row:
     python bench.py --dedup-bench  # minhash_lsh_dedup over the 100k-doc corpus
+Exchange A/B (same-session interleaved):
+    python bench.py --pit-ab       # pit_features tokens-emitted vs
+                                   # emit_tokens=False (tokens never shuffled)
+Streaming sessionizer timing row:
+    python bench.py --streaming-bench  # process_ordered_stream actor path,
+                                       # GRAFT_STREAM_ROWS=8000000
 Shuffle strategy: GRAFT_SHUFFLE=push (default) | pull | hash — push-based
 sort shuffle measured 35% faster at 32 CPUs, ~equal at 8 (see BASELINE.md).
 
@@ -77,19 +85,31 @@ def run_benchmark() -> dict:
     seq_path = f"{bench_dir}/sequences"
     attr_path = f"{bench_dir}/doc_attrs.parquet"
 
+    # GRAFT_PIT_EMIT_TOKENS=0 benchmarks the feature-store variant: tokens
+    # never ride the exchange (row_mix shipped pre-computed instead) and are
+    # absent from the output — all other feature columns byte-identical
+    # (tests/test_round4_fixes.py). Default 1 = the full token-passthrough
+    # contract.
+    emit_tokens = os.environ.get("GRAFT_PIT_EMIT_TOKENS", "1") != "0"
+
+    def make_pit():
+        # narrow_tokens: every synth profile draws tokens over vocab<=32768,
+        # so when tokens are emitted the dominant shuffle column rides the
+        # exchange as list<int16> (safe cast — raises loudly if the contract
+        # were ever violated)
+        return pit_features(
+            rd.read_parquet(seq_path),
+            rd.read_parquet(attr_path),
+            n_buckets=max(32, num_cpus * 2),
+            narrow_tokens=emit_tokens,
+            emit_tokens=emit_tokens,
+        )
+
     # warm-up: page cache AND the Ray worker pool (first execution at high
     # num_cpus pays tens of seconds of worker spawn that is not steady-state
     # throughput). One untimed pass of each pipeline, then the timed runs.
     rd.read_parquet(seq_path).count()
-    # narrow_tokens: every synth profile draws tokens over vocab<=32768, so
-    # the dominant shuffle column rides the exchange as list<int16> (safe
-    # cast — raises loudly if the contract were ever violated)
-    pit_features(
-        rd.read_parquet(seq_path),
-        rd.read_parquet(attr_path),
-        n_buckets=max(32, num_cpus * 2),
-        narrow_tokens=True,
-    ).count()
+    make_pit().count()
     count_stats(rd.read_parquet(seq_path)).count()
 
     n_rows = profile.n_rows
@@ -112,12 +132,7 @@ def run_benchmark() -> dict:
     stats_rows = 0
     for _round in range(n_rounds):
         t0 = time.perf_counter()
-        feats = pit_features(
-            rd.read_parquet(seq_path),
-            rd.read_parquet(attr_path),
-            n_buckets=max(32, num_cpus * 2),
-            narrow_tokens=True,
-        )
+        feats = make_pit()
         out_rows = feats.count()
         pit_all.append(round(time.perf_counter() - t0, 3))
         t_pit = min(t_pit, pit_all[-1])
@@ -149,6 +164,7 @@ def run_benchmark() -> dict:
             "count_stats_sec": round(t_stats, 3),
             "pit_rounds": pit_all,
             "count_stats_rounds": stats_all,
+            "pit_emit_tokens": emit_tokens,
             "hw_burn_tasks_per_sec": hw_burn,
             "sequences_per_sec": round(n_rows / headline, 1),
             "tokens_per_sec": round(n_tokens / headline, 1),
@@ -187,6 +203,7 @@ def run_benchmark() -> dict:
         "count_stats_sec": round(t_stats, 3),
         "pit_rounds": pit_all,
         "count_stats_rounds": stats_all,
+        "pit_emit_tokens": emit_tokens,
         "hw_burn_tasks_per_sec": hw_burn,
         "sequences_per_sec": round(n_rows / headline, 1),
         "tokens_per_sec": round(n_tokens / headline, 1),
@@ -264,7 +281,12 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SKIP_QUERIES="1",
-            GRAFT_PROFILE=os.environ.get("GRAFT_SCALING_PROFILE", "scale"),
+            GRAFT_PROFILE=os.environ.get("GRAFT_SCALING_PROFILE", "scale32"),
+            # 2 timed rounds per level invocation (best-of): the window
+            # protocol gets its robustness from the MEDIAN across windows,
+            # not from many rounds inside one window — and shorter
+            # invocations keep a window inside one ambient-load regime
+            GRAFT_BENCH_ROUNDS=os.environ.get("GRAFT_SCALING_ROUNDS", "2"),
         )
         # PIN the whole process tree (Ray workers, object store, Arrow
         # threads) to exactly ncpu CPUs: without this an "8-CPU" level's
@@ -287,72 +309,235 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # the shared virtualized box shows multi-x load swings across minutes;
-    # INTERLEAVE the levels (and rely on each invocation's internal
-    # warmup + best-of-2) so a load spike cannot land on one side of a
-    # pair. The scaling corpus is the 8M-row SCALE profile: a ~10s job is
-    # dominated by fixed orchestration costs that don't shrink with CPUs,
-    # so throughput ratios only mean something once the job is long enough
-    # to amortize them (the regime the 100 TB target lives in).
+    # the shared virtualized box shows multi-x load swings across ~10-min
+    # windows, so a single pair is a window lottery. Measurement unit is a
+    # WINDOW: one interleaved pass over the levels PLUS calibration-kernel
+    # readings taken in the same pass. The recorded statistic is the MEDIAN
+    # per-window ratio across >= GRAFT_SCALING_WINDOWS windows (default 5),
+    # with the full distribution in the JSON — a distribution, not a best
+    # pair. The scaling corpus is the 32M-row SCALE32 profile by default:
+    # a ~10s job is dominated by fixed orchestration costs that don't
+    # shrink with CPUs; ratios only mean something once the job amortizes
+    # them (the regime the 100 TB target lives in).
     base_levels = tuple(
-        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32,4,16").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
     )
-    levels = base_levels * int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
-    res: dict[int, dict] = {}
-    for n in levels:
-        r = one(n)
-        if n not in res or r["value"] < res[n]["value"]:
-            res[n] = r
-    # every measured N -> 4N pair (whatever GRAFT_SCALING_LEVELS provided)
-    pairs = [(n, 4 * n) for n in sorted(res) if 4 * n in res]
-    if not pairs:
+    n_windows = int(
+        os.environ.get(
+            "GRAFT_SCALING_WINDOWS", os.environ.get("GRAFT_SCALING_REPEATS", "5")
+        )
+    )
+    pair_bases = [n for n in sorted(set(base_levels)) if 4 * n in base_levels]
+    if not pair_bases:
         raise SystemExit(f"GRAFT_SCALING_LEVELS={base_levels} contains no N,4N pair")
-    hw_burn, hw_copy = {}, {}
-    for n in sorted(set(base_levels)) * 2:
-        hw_burn[n] = max(hw_burn.get(n, 0.0), _hw_throughput(n, _burn))
-        hw_copy[n] = max(hw_copy.get(n, 0.0), _hw_throughput(n, _copy))
 
-    # pipeline resource mix for normalization: the timed headline is
-    # roughly half vectorized compute, half shuffle (BASELINE.md); the
-    # blended hardware ceiling is the harmonic combination of the two
-    # kernels' speedups at equal time shares
     def blend(burn, copy):
+        # the timed headline is roughly half vectorized compute, half
+        # shuffle (BASELINE.md); the blended hardware ceiling is the
+        # harmonic combination of the two kernels' speedups at equal shares
         return 2.0 / (1.0 / burn + 1.0 / copy)
 
-    eff, burn_sp, copy_sp, norm_eff = {}, {}, {}, {}
-    for lo, hi in pairs:
-        tag = f"{lo}_{hi}"
-        sp = res[lo]["value"] / res[hi]["value"]
-        eff[tag] = round(sp / 4.0, 3)
-        burn_sp[tag] = round(hw_burn[hi] / hw_burn[lo], 3)
-        copy_sp[tag] = round(hw_copy[hi] / hw_copy[lo], 3)
-        # normalization is only meaningful when the box actually sped the
-        # calibration kernels up with more procs; an inverted ceiling
-        # (e.g. copy speedup < 1: co-tenant stole the bus mid-window)
-        # would produce a nonsense ratio > 1 — report null instead
-        if burn_sp[tag] > 1.0 and copy_sp[tag] > 1.0:
-            norm_eff[tag] = round(sp / blend(burn_sp[tag], copy_sp[tag]), 3)
-        else:
-            norm_eff[tag] = None
-    # headline value = the LARGEST measured pair (the stated 8->32 when
-    # present) — never the best-scoring pair
-    lo, hi = pairs[-1]
+    windows: list[dict] = []
+    best: dict[int, dict] = {}
+    for w in range(n_windows):
+        sec: dict[int, float] = {}
+        burn_t: dict[int, float] = {}
+        copy_t: dict[int, float] = {}
+        for n in base_levels:
+            r = one(n)
+            sec[n] = r["value"]
+            if n not in best or r["value"] < best[n]["value"]:
+                best[n] = r
+            # calibration sampled adjacent to the level it calibrates
+            burn_t[n] = _hw_throughput(n, _burn)
+            copy_t[n] = _hw_throughput(n, _copy)
+        wrec: dict = {
+            "sec": {str(n): round(sec[n], 3) for n in sec},
+            "raw_eff": {},
+            "hw_burn_speedup": {},
+            "hw_copy_speedup": {},
+            "hw_normalized_eff": {},
+        }
+        for lo in pair_bases:
+            hi = 4 * lo
+            tag = f"{lo}_{hi}"
+            sp = sec[lo] / sec[hi]
+            wrec["raw_eff"][tag] = round(sp / 4.0, 3)
+            bsp = burn_t[hi] / burn_t[lo]
+            csp = copy_t[hi] / copy_t[lo]
+            wrec["hw_burn_speedup"][tag] = round(bsp, 3)
+            wrec["hw_copy_speedup"][tag] = round(csp, 3)
+            # normalization is only meaningful when the box actually sped
+            # the calibration kernels up with more procs; an inverted
+            # ceiling (copy speedup < 1: co-tenant stole the bus) would
+            # produce a nonsense ratio > 1 — report null for that window
+            wrec["hw_normalized_eff"][tag] = (
+                round(sp / blend(bsp, csp), 3) if bsp > 1.0 and csp > 1.0 else None
+            )
+        windows.append(wrec)
+        print(json.dumps({"window": w, **wrec}), file=sys.stderr)
+
+    def median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else round((xs[m - 1] + xs[m]) / 2.0, 4)
+
+    med_eff, med_norm, dist = {}, {}, {}
+    for lo in pair_bases:
+        tag = f"{lo}_{4 * lo}"
+        vals = [w["raw_eff"][tag] for w in windows]
+        dist[tag] = vals
+        med_eff[tag] = median(vals)
+        norms = [w["hw_normalized_eff"][tag] for w in windows if w["hw_normalized_eff"][tag]]
+        med_norm[tag] = median(norms) if norms else None
+    # headline = the LARGEST measured pair's MEDIAN (never the best window)
+    lo = pair_bases[-1]
+    hi = 4 * lo
     return {
-        "metric": f"scaling efficiency (throughput at {hi} CPUs / 4x throughput at {lo} CPUs)",
-        "value": eff[f"{lo}_{hi}"],
+        "metric": f"scaling efficiency, median over {n_windows} interleaved windows "
+        f"(throughput at {hi} CPUs / 4x throughput at {lo} CPUs)",
+        "value": med_eff[f"{lo}_{hi}"],
         "unit": "ratio",
-        "profile": os.environ.get("GRAFT_SCALING_PROFILE", "scale"),
-        "efficiency": eff,
-        "sec": {str(n): res[n]["value"] for n in res},
-        "seq_per_sec": {str(n): res[n]["sequences_per_sec"] for n in res},
-        "hw_burn_speedup": burn_sp,
-        "hw_copy_speedup": copy_sp,
-        "hw_normalized_efficiency": norm_eff,
+        "profile": os.environ.get("GRAFT_SCALING_PROFILE", "scale32"),
+        "median_raw_efficiency": med_eff,
+        "raw_efficiency_per_window": dist,
+        "median_hw_normalized_efficiency": med_norm,
+        "windows": windows,
+        "best_sec": {str(n): best[n]["value"] for n in best},
+        "best_seq_per_sec": {str(n): best[n]["sequences_per_sec"] for n in best},
         "note": "single virtualized box: a 4x-node cluster adds memory bandwidth "
         "and NICs with each node; this box shares one bus across all workers — "
         "the copy-kernel speedup is the shuffle stage's physical ceiling here. "
+        "Per-window calibration kernels expose each window's ambient load. "
         "See BASELINE.md for the full calibration discussion.",
     }
+
+
+def run_pit_ab() -> dict:
+    """Same-session interleaved A/B: pit_features with tokens emitted
+    (narrow int16 exchange) vs emit_tokens=False (tokens never shuffled;
+    row_mix shipped pre-computed). The same-window pairwise comparison is
+    the only controlled measurement on this shared box (BASELINE.md)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    from ray.data.context import ShuffleStrategy
+
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctx.enable_progress_bars = False
+    ctx.read_op_min_num_blocks = max(64, num_cpus * 2)
+
+    from modlyn_ray import synth
+    from modlyn_ray.pipelines.flagship import pit_features
+
+    profile = synth.PROFILES[os.environ.get("GRAFT_PROFILE", "bench")]
+    d = synth.ensure_profile(profile)
+    seq, attr = f"{d}/sequences", f"{d}/doc_attrs.parquet"
+    nb = max(32, num_cpus * 2)
+
+    def run(emit: bool) -> float:
+        t0 = time.perf_counter()
+        n = pit_features(
+            rd.read_parquet(seq), rd.read_parquet(attr), n_buckets=nb,
+            narrow_tokens=emit, emit_tokens=emit,
+        ).count()
+        assert n == profile.n_rows
+        return round(time.perf_counter() - t0, 3)
+
+    run(True)  # warm page cache + worker pool
+    cycles = []
+    for _ in range(int(os.environ.get("GRAFT_BENCH_ROUNDS", "3"))):
+        with_tok = run(True)
+        without = run(False)
+        cycles.append(
+            {"emit_tokens_sec": with_tok, "no_tokens_sec": without,
+             "speedup": round(with_tok / without, 3)}
+        )
+    result = {
+        "metric": "pit_features exchange A/B: tokens emitted (int16) vs emit_tokens=False",
+        "value": min(c["no_tokens_sec"] for c in cycles),
+        "unit": "sec",
+        "cycles": cycles,
+        "num_cpus": num_cpus,
+        "n_rows": profile.n_rows,
+        "hw_burn_tasks_per_sec": round(_hw_throughput(8, _burn), 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_streaming_bench() -> dict:
+    """Timing row for the streaming sessionizer actor path
+    (stages/streaming.py process_ordered_stream): an ordered synthetic
+    event log fed in drops through the hash-partitioned actor pool —
+    per-key state carries across drops, throughput in rows/sec."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from modlyn_ray.stages.streaming import process_ordered_stream
+
+    rng = np.random.default_rng(17)
+    n_rows = int(os.environ.get("GRAFT_STREAM_ROWS", "8000000"))
+    n_keys = 20_000
+    batch_rows = 250_000
+    ts_all = np.cumsum(rng.integers(1, 2_000_000, n_rows))
+    keys_all = rng.integers(0, n_keys, n_rows)
+    src_all = rng.integers(0, 4, n_rows)
+    key_strs = np.array([f"u{k:05d}" for k in range(n_keys)])
+    src_strs = np.array(["s0", "s1", "s2", "s3"])
+    batches = []
+    for i in range(0, n_rows, batch_rows):
+        k, t, s = keys_all[i : i + batch_rows], ts_all[i : i + batch_rows], src_all[i : i + batch_rows]
+        # ordered-log contract: rows key-contiguous and ts-ordered within a
+        # drop (ts is globally increasing, so per-key order is preserved
+        # across drops too)
+        o = np.lexsort((t, k))
+        batches.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(key_strs[k[o]]),
+                    "ingest_ts": pa.array(t[o].astype("datetime64[us]")),
+                    "source": pa.array(src_strs[s[o]]),
+                }
+            )
+        )
+    n_actors = max(4, num_cpus // 2)
+    # warmup pass (actor spawn) on the first drop only
+    process_ordered_stream(batches[:1], n_actors=n_actors)
+    rounds = []
+    for _ in range(int(os.environ.get("GRAFT_BENCH_ROUNDS", "3"))):
+        t0 = time.perf_counter()
+        out, _states = process_ordered_stream(batches, n_actors=n_actors)
+        rounds.append(round(time.perf_counter() - t0, 3))
+        assert len(out) == n_rows
+    best = min(rounds)
+    result = {
+        "metric": f"streaming sessionizer throughput ({n_rows} rows, "
+        f"{len(batches)} drops, {n_keys} keys, {n_actors} actors)",
+        "value": best,
+        "unit": "sec",
+        "rounds": rounds,
+        "rows_per_sec": round(n_rows / best, 1),
+        "num_cpus": num_cpus,
+        "hw_burn_tasks_per_sec": round(_hw_throughput(8, _burn), 3),
+    }
+    ray.shutdown()
+    return result
 
 
 def run_dedup_bench() -> dict:
@@ -423,5 +608,9 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--dedup-bench" in sys.argv:
         print(json.dumps(run_dedup_bench()))
+    elif "--pit-ab" in sys.argv:
+        print(json.dumps(run_pit_ab()))
+    elif "--streaming-bench" in sys.argv:
+        print(json.dumps(run_streaming_bench()))
     else:
         print(json.dumps(run_benchmark()))

@@ -48,6 +48,7 @@ def pit_features(
     session_gap_us: int | None = None,
     validate: bool = False,
     narrow_tokens: bool = False,
+    emit_tokens: bool = True,
 ) -> Dataset:
     """sequences (+ optional doc_attrs) -> point-in-time feature Dataset.
 
@@ -64,6 +65,16 @@ def pit_features(
     instead of corrupting. ``row_mix`` is likewise no longer shipped at
     all — it is a pure function of ``tokens`` and is recomputed inside
     the bucket task, saving 8 B/row of exchange payload.
+
+    ``emit_tokens=False`` removes the ``tokens`` column from the OUTPUT
+    entirely — for feature-store consumers that keep tokens in the source
+    table and only need the derived features. The token lists then never
+    ride the exchange at all: ``row_mix`` (8 B/row) is computed BEFORE the
+    shuffle and shipped in their place, cutting the dominant remaining
+    payload column (~25 B/row avg on the synthetic profiles, more on real
+    text). All emitted feature columns are byte-identical to the
+    ``emit_tokens=True`` path; the byte-identity contract on ``tokens``
+    itself applies only when tokens are emitted.
     """
     from modlyn_ray.stages.temporal import (
         DEFAULT_SESSION_GAP_US,
@@ -98,6 +109,8 @@ def pit_features(
         seq = sequences.map_batches(
             add_row_mix, batch_format="pyarrow", zero_copy_batch=True
         )
+        if not emit_tokens:
+            seq = seq.drop_columns(["tokens"])
         return windowize(
             seq,
             lag_cols=["n_tok"],
@@ -115,7 +128,7 @@ def pit_features(
     tok_type = pa.list_(pa.int16()) if narrow_tokens else pa.list_(pa.int32())
     seq_schema = [
         ("doc_id", DICT),
-        ("tokens", tok_type),
+        *([("tokens", tok_type)] if emit_tokens else [("row_mix", pa.int64())]),
         ("n_tok", pa.int32()),
         ("source", DICT),
         ("ingest_ts", pa.timestamp("us")),
@@ -127,8 +140,15 @@ def pit_features(
     from modlyn_ray.util import dict_encode_batch as _dict_encode
 
     def pad_seq(b: pa.Table) -> pa.Table:
+        if not emit_tokens:
+            # row_mix rides the exchange (8 B/row) INSTEAD of the token
+            # lists — computed pre-shuffle, tokens never leave the read
+            # stage; select() also pins the union column order to seq_schema
+            b = add_row_mix(b).drop_columns(["tokens"]).select(
+                [name for name, _ in seq_schema]
+            )
         b = _dict_encode(b, ("doc_id", "source"))
-        if narrow_tokens:
+        if emit_tokens and narrow_tokens:
             i = b.schema.get_field_index("tokens")
             b = b.set_column(i, "tokens", pc.cast(b["tokens"], tok_type))
         return b.append_column("attr_val", pa.nulls(len(b), pa.float64())).append_column(
@@ -159,14 +179,15 @@ def pit_features(
         side = group["__side"].combine_chunks().to_numpy(zero_copy_only=False)
         ltbl = group.filter(pa.array(side == 0)).drop_columns(["__side", "bucket", "attr_val"])
         rtbl = group.filter(pa.array(side == 1))
-        # row_mix never rides the exchange: recomputed here from tokens
-        ltbl = add_row_mix(ltbl)
+        if emit_tokens:
+            # row_mix never rides the exchange: recomputed here from tokens
+            ltbl = add_row_mix(ltbl)
         w = window_kernel(ltbl, **window_args)
         out = asof_kernel(
             w, rtbl, by="doc_id", ts_col="ingest_ts", value_cols=["attr_val"],
             vtypes=vtypes, suffix="_asof", strict=False,
         )
-        if narrow_tokens:
+        if emit_tokens and narrow_tokens:
             i = out.schema.get_field_index("tokens")
             out = out.set_column(i, "tokens", pc.cast(out["tokens"], pa.list_(pa.int32())))
         return out

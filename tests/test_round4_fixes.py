@@ -236,6 +236,30 @@ def test_pivot_wide_rejects_category_collisions(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# pit_features(emit_tokens=False): same features, tokens never shuffled
+# ---------------------------------------------------------------------------
+def test_pit_features_emit_tokens_false_matches(ray_session, tiny_dir):
+    from modlyn_ray.pipelines.flagship import pit_features
+
+    seqs = rd.read_parquet(f"{tiny_dir}/sequences")
+    attrs = rd.read_parquet(f"{tiny_dir}/doc_attrs.parquet")
+    wide = (
+        pit_features(seqs, attrs, n_buckets=8, detect_skew=False)
+        .drop_columns(["tokens"])
+        .to_pandas()
+    )
+    slim_ds = pit_features(
+        seqs, attrs, n_buckets=8, detect_skew=False, emit_tokens=False
+    )
+    assert "tokens" not in slim_ds.schema().names
+    slim = slim_ds.to_pandas()
+    key = ["doc_id", "seq_no"]
+    wide = wide.sort_values(key, ignore_index=True)
+    slim = slim.sort_values(key, ignore_index=True)[wide.columns]
+    pd.testing.assert_frame_equal(wide, slim)
+
+
+# ---------------------------------------------------------------------------
 # hashed n-gram text embeddings (stages/embed.py)
 # ---------------------------------------------------------------------------
 def _ref_embed(s: str, dim: int) -> np.ndarray:

@@ -189,5 +189,5 @@ def test_heavy_key_detection_and_dedicated_bucket():
     assert "doc000000" in heavy  # synth forces doc 0 heavy
     assert all(b >= 16 for b in heavy.values())
     bds = add_bucket_column(ds, n_buckets=16, heavy=heavy)
-    got = bds.filter(lambda r: r["doc_id"] == "doc000000").take(5)
+    got = bds.filter(expr="doc_id == 'doc000000'").take(5)
     assert all(r["bucket"] == heavy["doc000000"] for r in got)
