@@ -359,6 +359,63 @@ GROUP BY p_type
 """
 
 
+def q46_left_outer_join(sf_dir: str) -> pd.DataFrame:
+    """Distributed LEFT OUTER hash join (stages/joins.py how='left'):
+    customer LEFT JOIN orders through ONE bucketed exchange; unmatched
+    customers surface once with null order keys. The per-nation aggregate
+    distinguishes outer semantics bit-for-bit: count(*) includes the
+    order-less customers (q08's five), count(o_orderkey) does not."""
+    from modlyn_ray.stages.joins import hash_equi_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    joined = hash_equi_join(
+        cust, orders, left_on="c_custkey", right_on="o_custkey",
+        right_cols=["o_orderkey"], how="left", n_buckets=16,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        matched = pc.is_valid(
+            b["o_orderkey"].combine_chunks()
+            if isinstance(b["o_orderkey"], pa.ChunkedArray)
+            else b["o_orderkey"]
+        ).to_numpy(zero_copy_only=False)
+        n_rows = np.bincount(nk)
+        n_orders = np.bincount(nk, weights=matched.astype(np.float64))
+        nz = np.flatnonzero(n_rows)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nz.astype(np.int64)),
+                "n_orders": pa.array(n_orders[nz].astype(np.int64)),
+                "n_rows": pa.array(n_rows[nz].astype(np.int64)),
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("n_rows", alias_name="n_rows"))
+        .to_pandas()
+        .sort_values("c_nationkey", ignore_index=True)
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out[["c_nationkey", "n_orders", "n_rows"]]
+
+
+Q46_SQL = """
+SELECT c_nationkey, count(o_orderkey)::BIGINT AS n_orders,
+       count(*)::BIGINT AS n_rows
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 # ===========================================================================
 # temporal (SURVEY §2.9 W1-W4 over the events stream)
 # ===========================================================================
@@ -1686,6 +1743,7 @@ QUERIES = {
     "q43_rank_windows": q43_rank_windows,
     "q44_quantile_sketch": q44_quantile_sketch,
     "q45_embed_knn": q45_embed_knn,
+    "q46_left_outer_join": q46_left_outer_join,
     "q50_logreg_weights": q50_logreg_weights,
     "q51_jaccard_eval": q51_jaccard_eval,
     "q52_pit_features": q52_pit_features,
@@ -1730,6 +1788,7 @@ ORACLES = {
     "q41_wilcoxon": Q41_SQL,
     "q42_event_type_pivot": Q42_SQL,
     "q43_rank_windows": Q43_SQL,
+    "q46_left_outer_join": Q46_SQL,
     "q51_jaccard_eval": Q51_SQL,
     "q52_pit_features": Q52_SQL,
     # Rows-only (genuinely non-SQL-expressible), each parity-checked in

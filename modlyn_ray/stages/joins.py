@@ -77,17 +77,19 @@ def hash_equi_join(
     """Distributed equi-join in ONE bucket-keyed exchange.
 
     ``how``: "inner" (left columns + ``right_cols`` per matching right row,
-    one output row per match pair), "semi" (left rows with >=1 match, left
-    columns only), or "anti" (left rows with NO match, left columns only).
+    one output row per match pair), "left" (same, plus unmatched left rows
+    once with null ``right_cols`` — SQL LEFT OUTER), "semi" (left rows with
+    >=1 match, left columns only), or "anti" (left rows with NO match, left
+    columns only).
 
     ``right_cols`` must be disjoint from the left schema (rename upstream
     with a ``map_batches`` projection if needed); ignored for semi/anti.
     """
-    if how not in ("inner", "semi", "anti"):
-        raise ValueError(f"how must be inner|semi|anti, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
     l_schema = _arrow_schema(left)
     lcols = list(l_schema.names)
-    if how != "inner":
+    if how in ("semi", "anti"):
         right_cols = []
     clash = set(right_cols) & set(lcols)
     if clash:
@@ -136,9 +138,10 @@ def hash_equi_join(
             ["__side", "bucket"] + right_cols
         )
         rtbl = group.filter(pa.array(side == 1))
-        if how == "inner":
+        if how in ("inner", "left"):
             return _inner_kernel(
-                ltbl, rtbl, left_on=left_on, right_cols=right_cols, vtypes=vtypes
+                ltbl, rtbl, left_on=left_on, right_cols=right_cols,
+                vtypes=vtypes, outer=(how == "left"),
             )
         return _membership_kernel(ltbl, rtbl, left_on=left_on, anti=(how == "anti"))
 
@@ -157,14 +160,28 @@ def _membership_kernel(ltbl: pa.Table, rtbl: pa.Table, *, left_on: str, anti: bo
 
 
 def _inner_kernel(
-    ltbl: pa.Table, rtbl: pa.Table, *, left_on: str, right_cols: list[str], vtypes: dict
+    ltbl: pa.Table,
+    rtbl: pa.Table,
+    *,
+    left_on: str,
+    right_cols: list[str],
+    vtypes: dict,
+    outer: bool = False,
 ) -> pa.Table:
-    nl, nr = len(ltbl), len(rtbl)
-    if nl == 0 or nr == 0:
-        out = ltbl.slice(0, 0)
+    """``outer=True`` = LEFT OUTER: unmatched left rows are appended once
+    with null right columns (row order within a bucket is not part of the
+    join contract)."""
+
+    def _with_null_cols(t: pa.Table) -> pa.Table:
         for c in right_cols:
-            out = out.append_column(c, pa.nulls(0, vtypes[c]))
-        return out
+            t = t.append_column(c, pa.nulls(len(t), vtypes[c]))
+        return t
+
+    nl, nr = len(ltbl), len(rtbl)
+    if nl == 0 or (nr == 0 and not outer):
+        return _with_null_cols(ltbl.slice(0, 0))
+    if nr == 0:
+        return _with_null_cols(ltbl)
     lcodes, rcodes = _joint_codes(_combined(ltbl[left_on]), _combined(rtbl[left_on]))
     order = np.argsort(rcodes, kind="stable")
     rcodes_s = rcodes[order]
@@ -173,10 +190,7 @@ def _inner_kernel(
     counts = end - start
     total = int(counts.sum())
     if total == 0:
-        out = ltbl.slice(0, 0)
-        for c in right_cols:
-            out = out.append_column(c, pa.nulls(0, vtypes[c]))
-        return out
+        return _with_null_cols(ltbl if outer else ltbl.slice(0, 0))
     left_rep = np.repeat(np.arange(nl, dtype=np.int64), counts)
     csum = np.cumsum(counts) - counts
     ridx = np.arange(total, dtype=np.int64) - np.repeat(csum, counts) + np.repeat(
@@ -186,6 +200,9 @@ def _inner_kernel(
     take_r = pa.array(order[ridx])
     for c in right_cols:
         out = out.append_column(c, _combined(rtbl[c]).take(take_r))
+    if outer and (counts == 0).any():
+        unmatched = _with_null_cols(ltbl.filter(pa.array(counts == 0)))
+        out = pa.concat_tables([out, unmatched])
     return out
 
 

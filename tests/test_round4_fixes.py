@@ -157,6 +157,42 @@ def test_broadcast_inner_join_matches_hash_join(ray_session):
     assert len(a) > 500  # duplication actually exercised
 
 
+def test_left_outer_join_matches_duckdb(ray_session):
+    from modlyn_ray.stages.joins import hash_equi_join
+
+    rng = np.random.default_rng(5)
+    keys = [f"k{i}" for i in range(30)]
+    lk = [keys[i] if i % 7 else None for i in rng.integers(0, 30, 300)]
+    left = pa.table(
+        {"k": pa.array(lk), "lv": pa.array(np.arange(300, dtype=np.int64))}
+    )
+    rk = [keys[i] for i in rng.integers(0, 18, 40)] + [None]
+    right = pa.table(
+        {"rk": pa.array(rk), "rv": pa.array(np.arange(41, dtype=np.int64))}
+    )
+    got = (
+        hash_equi_join(
+            rd.from_arrow(left), rd.from_arrow(right), "k", "rk", ["rv"],
+            how="left", n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["lv", "rv"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        "SELECT k, lv, rv FROM l LEFT JOIN r ON l.k = r.rk ORDER BY lv, rv"
+    ).df()
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["lv"].astype("int64"), want["lv"].astype("int64"), check_names=False
+    )
+    np.testing.assert_array_equal(
+        got["rv"].to_numpy(dtype=np.float64), want["rv"].to_numpy(dtype=np.float64)
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. rank_windows with NULL partition keys
 # ---------------------------------------------------------------------------
