@@ -15,7 +15,10 @@ sketch — self-validating: embeds the exact-path value and the realized
 rank error vs the n/(2K) contract bound, both computed distributed), q45
 (engine-produced hashed-n-gram embeddings -> IVF ANN — self-validating
 recall floor vs brute force over the same embeddings; the embedder itself
-is scalar-reference- and partition-invariance-tested in pytest).
+is scalar-reference- and partition-invariance-tested in pytest), q47
+(embed -> LSH cosine near-dup with 25 planted verbatim duplicates —
+self-validating: identical text => cosine 1, all planted pairs must
+surface).
 Count-stats / wilcoxon / jaccard / PIT / streaming-sessionize all carry
 full value-level oracles (md5 token-id scheme + window SQL).
 

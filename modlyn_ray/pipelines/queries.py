@@ -359,6 +359,51 @@ GROUP BY p_type
 """
 
 
+def q47_embed_dedup(sf_dir: str) -> pd.DataFrame:
+    """End-to-end 'embed then dedup' LLM-pipeline shape: engine-produced
+    embeddings (stages/embed.py) feed hyperplane-LSH cosine near-dup
+    detection (stages/dedup.py embedding_dedup). Ground truth is embedded
+    in the query: 25 documents are re-appended verbatim under shifted ids
+    (a deterministic transform of the same input), and identical text =>
+    identical embedding => cosine exactly 1, so every planted pair MUST
+    surface — `planted_found` self-validates the whole chain. Rows-only
+    (LSH bucketing is hash-specific)."""
+    from modlyn_ray.stages.dedup import embedding_dedup
+    from modlyn_ray.stages.embed import embed_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids < 25
+        dup = b.filter(pa.array(keep))
+        if len(dup) == 0:
+            return b
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(dup["doc_id"].to_numpy(zero_copy_only=False) + 1_000_000),
+        )
+        return pa.concat_tables([b, dup])
+
+    planted = docs.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    emb = embed_text(planted, text_col="text", dim=64).drop_columns(["text"])
+    pairs = embedding_dedup(
+        emb, emb_col="embedding", id_col="doc_id", threshold=0.9999, n_planes=8
+    ).to_pandas()
+    found = set(zip(pairs["a"].astype(np.int64), pairs["b"].astype(np.int64)))
+    planted_pairs = {(i, i + 1_000_000) for i in range(25)}
+    n_found = sum(1 for p in planted_pairs if p in found)
+    return pd.DataFrame(
+        {
+            "n_planted": [25],
+            "planted_found": [n_found],
+            "n_pairs_total": [len(found)],
+            "all_planted_recovered": [bool(n_found == 25)],
+        }
+    )
+
+
 def q46_left_outer_join(sf_dir: str) -> pd.DataFrame:
     """Distributed LEFT OUTER hash join (stages/joins.py how='left'):
     customer LEFT JOIN orders through ONE bucketed exchange; unmatched
@@ -1744,6 +1789,7 @@ QUERIES = {
     "q44_quantile_sketch": q44_quantile_sketch,
     "q45_embed_knn": q45_embed_knn,
     "q46_left_outer_join": q46_left_outer_join,
+    "q47_embed_dedup": q47_embed_dedup,
     "q50_logreg_weights": q50_logreg_weights,
     "q51_jaccard_eval": q51_jaccard_eval,
     "q52_pit_features": q52_pit_features,

@@ -1,8 +1,8 @@
 """Driver-gate rehearsal for the rows-only queries.
 
-Eight queries() entries carry no oracle_sql() (hash-specific LSH output,
+Nine queries() entries carry no oracle_sql() (hash-specific LSH output,
 iterative k-means recall, HLL estimation, quantile sketching, text
-embedding + ANN, SGD training) — the external
+embedding + ANN / near-dup, SGD training) — the external
 driver only checks that they execute and return >= 0 rows with a stable
 schema at sf0.01. Rehearse exactly that here so a scale- or
 data-dependent failure (e.g. an IVF recall floor that holds at one sf
@@ -26,6 +26,9 @@ EXPECTED_COLUMNS = {
     "q34_knn_ivf_recall": {"n_queries", "k", "n_true", "recall_floor"},
     "q36_approx_distinct": {"column", "exact", "hll_estimate", "within_5pct"},
     "q45_embed_knn": {"n_queries", "k", "dim", "n_true", "recall_floor"},
+    "q47_embed_dedup": {
+        "n_planted", "planted_found", "n_pairs_total", "all_planted_recovered",
+    },
     "q44_quantile_sketch": {
         "l_returnflag", "q", "value_sketch", "value_exact", "rank_error",
         "within_bound",
@@ -41,7 +44,7 @@ def _rows_only_names():
     return sorted(set(e.queries()) - set(e.oracle_sql()))
 
 
-def test_rows_only_set_is_exactly_the_documented_eight(ray_session):
+def test_rows_only_set_is_exactly_the_documented_nine(ray_session):
     assert _rows_only_names() == sorted(EXPECTED_COLUMNS)
 
 
