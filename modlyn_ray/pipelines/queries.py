@@ -461,6 +461,112 @@ GROUP BY c_nationkey
 """
 
 
+def q48_set_ops(sf_dir: str) -> pd.DataFrame:
+    """Distributed SQL INTERSECT / EXCEPT (stages/joins.py distinct_set_op,
+    U1 at dataset scale): customers who placed both URGENT and LOW orders
+    vs URGENT-only, summarized as (n, key checksum) per op so the oracle
+    hash covers the full membership, not just cardinality."""
+    from modlyn_ray.stages.joins import distinct_set_op
+
+    def prio(p: str) -> Dataset:
+        return (
+            rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+            .filter(expr=f"o_orderpriority == '{p}'")
+            .select_columns(["o_custkey"])
+        )
+
+    rows = []
+    for op in ("intersect", "except"):
+        keys = distinct_set_op(
+            prio("1-URGENT"), prio("5-LOW"),
+            left_on="o_custkey", right_on="o_custkey", op=op, n_buckets=16,
+        )
+
+        def partial(b: pa.Table) -> pa.Table:
+            k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "n": pa.array([len(k)], type=pa.int64()),
+                    "key_sum": pa.array([int(k.sum())], type=pa.int64()),
+                }
+            )
+
+        agg = (
+            keys.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .aggregate(Sum("n", alias_name="n"), Sum("key_sum", alias_name="key_sum"))
+        )
+        rows.append({"op": op, "n": agg["n"] or 0, "key_sum": agg["key_sum"] or 0})
+    out = pd.DataFrame(rows).sort_values("op", ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["key_sum"] = out["key_sum"].astype(np.int64)
+    return out
+
+
+Q48_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'),
+     i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b),
+     e AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+SELECT 'intersect' AS op, count(*)::BIGINT AS n,
+       coalesce(sum(o_custkey), 0)::BIGINT AS key_sum FROM i
+UNION ALL
+SELECT 'except' AS op, count(*)::BIGINT AS n,
+       coalesce(sum(o_custkey), 0)::BIGINT AS key_sum FROM e
+ORDER BY op
+"""
+
+
+def q54_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Wide->long unpivot (stages/aggregates.py melt, SQL UNPIVOT inverse
+    of q42's pivot): lineitem measures stacked into (metric, val) rows —
+    pure per-batch streaming, no shuffle — then a tiny grouped rollup so
+    the oracle hash covers every unpivoted value."""
+    from modlyn_ray.stages.aggregates import melt
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    long = melt(
+        ds,
+        id_cols=["l_orderkey"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("metric", as_index=False)["val"].agg(["count", "sum"])
+        return pa.table(
+            {
+                "metric": pa.array(g["metric"]),
+                "n": pa.array(g["count"].astype(np.int64)),
+                "total": pa.array(g["sum"].astype(np.float64)),
+            }
+        )
+
+    out = (
+        long.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("metric")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+        .to_pandas()
+        .sort_values("metric", ignore_index=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["total"] = _round(out["total"], 2)
+    return out
+
+
+Q54_SQL = """
+WITH u AS (
+  SELECT metric, val FROM (
+    SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem
+  ) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+)
+SELECT metric, count(*)::BIGINT AS n, round(sum(val), 2) AS total
+FROM u GROUP BY metric ORDER BY metric
+"""
+
+
 # ===========================================================================
 # temporal (SURVEY §2.9 W1-W4 over the events stream)
 # ===========================================================================
@@ -614,6 +720,36 @@ Q14_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type, hour
+"""
+
+
+def q49_resample_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Fixed-frequency resample WITH explicit zero rows for missing hours
+    (stages/temporal.py resample_gap_fill — the generate_series + LEFT JOIN
+    backfill shape): hourly click counts + value sums, every hour in
+    [min, max] present."""
+    from modlyn_ray.stages.temporal import resample_gap_fill
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"]).filter(
+        expr="event_type == 'click'"
+    )
+    out = resample_gap_fill(ds, ts_col="ts", value_col="value", unit="hour")
+    out = out.rename(columns={"bucket_ts": "hr"})
+    out["sum_value"] = _round(out["sum_value"], 4)
+    return out[["hr", "n", "sum_value"]]
+
+
+Q49_SQL = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS hr, count(*)::BIGINT AS n,
+         sum(value) AS sv
+  FROM events WHERE event_type = 'click' GROUP BY hr),
+span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM agg),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM span)
+SELECT g.hr, coalesce(a.n, 0)::BIGINT AS n,
+       round(coalesce(a.sv, 0.0), 4) AS sum_value
+FROM grid g LEFT JOIN agg a USING (hr) ORDER BY g.hr
 """
 
 
@@ -1790,10 +1926,13 @@ QUERIES = {
     "q45_embed_knn": q45_embed_knn,
     "q46_left_outer_join": q46_left_outer_join,
     "q47_embed_dedup": q47_embed_dedup,
+    "q48_set_ops": q48_set_ops,
+    "q49_resample_gap_fill": q49_resample_gap_fill,
     "q50_logreg_weights": q50_logreg_weights,
     "q51_jaccard_eval": q51_jaccard_eval,
     "q52_pit_features": q52_pit_features,
     "q53_logreg_fullbatch": q53_logreg_fullbatch,
+    "q54_unpivot": q54_unpivot,
 }
 
 ORACLES = {
@@ -1835,8 +1974,11 @@ ORACLES = {
     "q42_event_type_pivot": Q42_SQL,
     "q43_rank_windows": Q43_SQL,
     "q46_left_outer_join": Q46_SQL,
+    "q48_set_ops": Q48_SQL,
+    "q49_resample_gap_fill": Q49_SQL,
     "q51_jaccard_eval": Q51_SQL,
     "q52_pit_features": Q52_SQL,
+    "q54_unpivot": Q54_SQL,
     # Rows-only (genuinely non-SQL-expressible), each parity-checked in
     # pytest instead: q50/q53 (iterative Adam training, numpy-oracle
     # allclose), q32/q33 (hash-specific LSH/simhash pruning; the verify

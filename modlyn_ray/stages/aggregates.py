@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Sum
@@ -257,6 +258,41 @@ def pivot_wide(
     return partials.groupby(index_cols).aggregate(
         *[Sum(c, alias_name=c) for c in categories]
     )
+
+
+def melt(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    metric_col: str = "metric",
+    value_col: str = "val",
+) -> Dataset:
+    """Wide->long unpivot (SQL ``UNPIVOT``, the inverse of ``pivot_wide``):
+    one output row per (input row, value column), with the source column
+    name in ``metric_col`` and its value cast to float64 in ``value_col``.
+
+    Pure per-batch transform — no shuffle, no state: each batch emits
+    ``len(value_cols)`` stacked slices (id columns repeated via zero-copy
+    arrow concat). SQL NULL contract: UNPIVOT drops rows whose value is
+    NULL, and so does this kernel.
+    """
+    clash = {metric_col, value_col} & set(id_cols)
+    if clash:
+        raise ValueError(f"metric/value column names clash with id_cols: {sorted(clash)}")
+
+    def kernel(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            v = b[c].cast(pa.float64())
+            t = b.select(id_cols).append_column(
+                metric_col, pa.array([c] * len(b))
+            ).append_column(value_col, v)
+            if v.null_count:
+                t = t.filter(pc.is_valid(t[value_col]))
+            parts.append(t)
+        return pa.concat_tables(parts).replace_schema_metadata(None)
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def grouped_corr(

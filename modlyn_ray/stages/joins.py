@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -204,6 +205,73 @@ def _inner_kernel(
         unmatched = _with_null_cols(ltbl.filter(pa.array(counts == 0)))
         out = pa.concat_tables([out, unmatched])
     return out
+
+
+def distinct_set_op(
+    left: Dataset,
+    right: Dataset,
+    left_on: str,
+    right_on: str,
+    op: str = "intersect",
+    n_buckets: int = 64,
+) -> Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` over one key column — DISTINCT set
+    semantics, one bucket-keyed exchange (U1 "set intersection across
+    frames" at dataset scale; the reference does this driver-side over
+    top-k index sets, /root/reference/modlyn/eval/_jaccard.py).
+
+    Each side is pre-deduped per batch, ships ONLY its key column through
+    the same crc32 bucket exchange as ``hash_equi_join`` (equal keys land
+    in one bucket, so global distinct = per-bucket distinct), and the
+    kernel emits each qualifying key exactly once. Unlike joins, SQL set
+    ops compare rows with IS-NOT-DISTINCT-FROM semantics: NULL *does*
+    equal NULL here, so both sides' nulls share one joint code.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+
+    def project(col_name: str, side: int):
+        def f(b: pa.Table) -> pa.Table:
+            keys = _combined(b[col_name])
+            # per-batch distinct: cuts exchange rows to <= distinct keys
+            keys = pc.unique(keys)
+            return pa.table(
+                {
+                    left_on: keys,
+                    "__side": pa.array(np.full(len(keys), side, dtype=np.int8)),
+                }
+            )
+
+        return f
+
+    l_keys = left.map_batches(
+        project(left_on, 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    r_keys = right.map_batches(
+        project(right_on, 1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = add_bucket_column(l_keys.union(r_keys), key=left_on, n_buckets=n_buckets)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        side = _combined(group["__side"]).to_numpy(zero_copy_only=False)
+        keys = _combined(group[left_on])
+        # one joint dictionary; NULL gets one shared code (set-op equality)
+        codes = (
+            keys.dictionary_encode()
+            .indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lmask = side == 0
+        lcodes, rcodes = codes[lmask], codes[~lmask]
+        # first occurrence of each distinct left code -> emit-once contract
+        uniq, first = np.unique(lcodes, return_index=True)
+        hit = np.isin(uniq, rcodes)
+        take = first[hit if op == "intersect" else ~hit]
+        lidx = np.flatnonzero(lmask)
+        return pa.table({left_on: keys.take(pa.array(lidx[take]))})
+
+    return both.groupby("bucket").map_groups(kernel, batch_format="pyarrow")
 
 
 def broadcast_inner_join(

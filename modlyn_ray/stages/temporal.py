@@ -42,8 +42,10 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
+from ray.data.aggregate import Sum
 
 DEFAULT_SESSION_GAP_US = 3_600_000_000  # 1 hour
 
@@ -701,3 +703,63 @@ def range_join_kernel(
         out = out.append_column(f"{c}{suffix}", col.take(take_r))
     mts = pa.array(rts_s[ridx], type=pa.timestamp("us"))
     return out.append_column(f"matched{suffix}_ts", mts)
+
+
+def resample_gap_fill(
+    ds: Dataset,
+    ts_col: str,
+    value_col: str | None = None,
+    unit: str = "hour",
+) -> "pd.DataFrame":
+    """Fixed-frequency resample WITH gap filling: count (and optionally
+    sum(value_col)) per truncated time bucket, then every missing bucket in
+    [min, max] emitted with 0 — the ``generate_series + LEFT JOIN`` SQL
+    shape a feature-store backfill needs (a missing hour must be an explicit
+    zero row, not an absent one, or downstream lag/rolling features silently
+    skip it).
+
+    The heavy part is fully distributed (per-batch ``floor_temporal`` +
+    partial counts, one tiny groupby over distinct buckets); the grid fill
+    runs on the AGGREGATED result, whose size is bounded by the time span
+    (e.g. a decade of hours is ~88k rows) — independent of input row count,
+    so driver-side fill is the correct shape at 100 TB.
+    """
+    step = {"hour": "h", "day": "D", "minute": "min"}[unit]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {"bucket_ts": pc.floor_temporal(b[ts_col], unit=unit)}
+        if value_col is not None:
+            cols["__v"] = b[value_col]
+        t = pa.table(cols)
+        df = t.to_pandas()
+        g = df.groupby("bucket_ts", as_index=False, sort=False)
+        out = g.size().rename(columns={"size": "n"})
+        if value_col is not None:
+            out = out.merge(
+                g["__v"].sum().rename(columns={"__v": "sum_value"}), on="bucket_ts"
+            )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    aggs = [Sum("n", alias_name="n")]
+    if value_col is not None:
+        aggs.append(Sum("sum_value", alias_name="sum_value"))
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket_ts")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    if agg.empty:
+        return agg
+    grid = pd.DataFrame(
+        {
+            "bucket_ts": pd.date_range(
+                agg["bucket_ts"].min(), agg["bucket_ts"].max(), freq=step
+            )
+        }
+    )
+    out = grid.merge(agg, on="bucket_ts", how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    if value_col is not None:
+        out["sum_value"] = out["sum_value"].fillna(0.0)
+    return out.sort_values("bucket_ts", ignore_index=True)
