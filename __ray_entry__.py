@@ -18,7 +18,9 @@ recall floor vs brute force over the same embeddings; the embedder itself
 is scalar-reference- and partition-invariance-tested in pytest), q47
 (embed -> LSH cosine near-dup with 25 planted verbatim duplicates —
 self-validating: identical text => cosine 1, all planted pairs must
-surface).
+surface), q58 (greedy first-fit packing — each boundary depends on the
+running remainder, no SQL form; the query embeds the token-conservation
+check and pytest covers capacity/determinism in tests/test_tokenops.py).
 Count-stats / wilcoxon / jaccard / PIT / streaming-sessionize all carry
 full value-level oracles (md5 token-id scheme + window SQL).
 

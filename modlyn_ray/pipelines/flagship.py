@@ -126,13 +126,17 @@ def pit_features(
 
     DICT = pa.dictionary(pa.int32(), pa.string())
     tok_type = pa.list_(pa.int16()) if narrow_tokens else pa.list_(pa.int32())
+    # __sa fuses the two side-exclusive int64-wide columns into ONE shuffle
+    # slot: sequence rows carry seq_no, attr rows carry attr_val's float64
+    # BITS (bitcast, validity preserved) — 8 B/row less exchange payload
+    # than shipping seq_no plus a mostly-null attr_val buffer.
     seq_schema = [
         ("doc_id", DICT),
         *([("tokens", tok_type)] if emit_tokens else [("row_mix", pa.int64())]),
         ("n_tok", pa.int32()),
         ("source", DICT),
         ("ingest_ts", pa.timestamp("us")),
-        ("seq_no", pa.int64()),
+        ("__sa", pa.int64()),
     ]
     vtypes = {"attr_val": pa.float64()}
 
@@ -140,6 +144,9 @@ def pit_features(
     from modlyn_ray.util import dict_encode_batch as _dict_encode
 
     def pad_seq(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
+            ["__sa" if c == "seq_no" else c for c in b.column_names]
+        )
         if not emit_tokens:
             # row_mix rides the exchange (8 B/row) INSTEAD of the token
             # lists — computed pre-shuffle, tokens never leave the read
@@ -151,20 +158,25 @@ def pit_features(
         if emit_tokens and narrow_tokens:
             i = b.schema.get_field_index("tokens")
             b = b.set_column(i, "tokens", pc.cast(b["tokens"], tok_type))
-        return b.append_column("attr_val", pa.nulls(len(b), pa.float64())).append_column(
-            "__side", pa.array(np.zeros(len(b), dtype=np.int8))
-        )
+        return b.append_column("__side", pa.array(np.zeros(len(b), dtype=np.int8)))
 
     def pad_attr(b: pa.Table) -> pa.Table:
         b = _dict_encode(b, ("doc_id",))
         n = len(b)
+        attr = b["attr_val"]
+        if isinstance(attr, pa.ChunkedArray):
+            attr = attr.combine_chunks()
+        null_mask = attr.is_null().to_numpy(zero_copy_only=False)
+        bits = attr.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int64)
+        sa = pa.array(bits, mask=null_mask)
         cols = {}
         for name, typ in seq_schema:
             if name in ("doc_id", "ingest_ts"):
                 cols[name] = b[name]
+            elif name == "__sa":
+                cols[name] = sa
             else:
                 cols[name] = pa.nulls(n, typ)
-        cols["attr_val"] = b["attr_val"]
         t = pa.table(cols)
         return t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
 
@@ -177,8 +189,23 @@ def pit_features(
     def per_bucket(group: pa.Table) -> pa.Table:
         group = _dict_decode(group, ("doc_id", "source"))
         side = group["__side"].combine_chunks().to_numpy(zero_copy_only=False)
-        ltbl = group.filter(pa.array(side == 0)).drop_columns(["__side", "bucket", "attr_val"])
-        rtbl = group.filter(pa.array(side == 1))
+        ltbl = group.filter(pa.array(side == 0)).drop_columns(["__side", "bucket"])
+        # sequence side: the fused slot is seq_no again
+        ltbl = ltbl.rename_columns(
+            ["seq_no" if c == "__sa" else c for c in ltbl.column_names]
+        )
+        raw = group.filter(pa.array(side == 1))
+        # attr side: un-bitcast the fused slot back to float64 attr_val
+        sa = raw["__sa"].combine_chunks()
+        null_mask = sa.is_null().to_numpy(zero_copy_only=False)
+        vals = sa.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64).view(np.float64)
+        rtbl = pa.table(
+            {
+                "doc_id": raw["doc_id"],
+                "ingest_ts": raw["ingest_ts"],
+                "attr_val": pa.array(vals, mask=null_mask),
+            }
+        )
         if emit_tokens:
             # row_mix never rides the exchange: recomputed here from tokens
             ltbl = add_row_mix(ltbl)

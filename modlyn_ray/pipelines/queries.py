@@ -1880,6 +1880,186 @@ FROM sess s ASOF LEFT JOIN purch p
 """
 
 
+def _chunk_scalars(b: pa.Table) -> pa.Table:
+    """(doc_id, chunk_no, n_tok) + tok_sum per chunk row — prefix-sum over
+    the flat token buffer, no Python per-row work."""
+    toks = b["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    pad = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(flat, out=pad[1:])
+    return pa.table(
+        {
+            "doc_id": b["doc_id"],
+            "chunk_no": b["chunk_no"],
+            "n_tok": b["n_tok"],
+            "tok_sum": pa.array(pad[offs[1:]] - pad[offs[:-1]]),
+        }
+    )
+
+
+def q55_chunk_sequences(sf_dir: str) -> pd.DataFrame:
+    """Fixed-window chunking of token sequences (tokenops.chunk_sequences):
+    tokenize documents with the SQL-reproducible md5 id scheme, explode each
+    doc into non-overlapping 32-token windows, and emit per-chunk scalars
+    (n_tok + token-id sum) so the window boundaries AND window contents are
+    hash-checked against the DuckDB oracle."""
+    from modlyn_ray.stages.text import tokenize
+    from modlyn_ray.stages.tokenops import chunk_sequences
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
+        ["doc_id", "tokens", "n_tok"]
+    )
+    chunks = chunk_sequences(seqs, chunk_len=32)
+    out = chunks.map_batches(
+        _chunk_scalars, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out["tok_sum"] = out["tok_sum"].astype(np.int64)
+    return out
+
+
+Q55_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+ids AS (
+  SELECT doc_id, ord, (md5_number_lower(word) % 4096)::BIGINT AS tid FROM ex)
+SELECT doc_id, ((ord - 1) // 32)::INT AS chunk_no,
+       count(*)::INT AS n_tok, sum(tid)::BIGINT AS tok_sum
+FROM ids GROUP BY doc_id, chunk_no
+"""
+
+
+def q56_vocab_remap(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary remap through a broadcast lookup table
+    (tokenops.remap_tokens): the table is materialized once, ray.put once,
+    and each actor applies it with one np.take per batch. The table values
+    follow the affine bijection new = (1597*old + 511) mod 4096 so the
+    DuckDB oracle can state the SAME mapping in closed form — the engine
+    side still exercises the real table-lookup plumbing (a tokenizer
+    migration never has a closed form)."""
+    from modlyn_ray.stages.text import tokenize
+    from modlyn_ray.stages.tokenops import remap_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
+        ["doc_id", "tokens", "n_tok"]
+    )
+    table = ((1597 * np.arange(4096, dtype=np.int64) + 511) % 4096).astype(np.int32)
+    remapped = remap_tokens(seqs, table, concurrency=(2, 4))
+
+    def scalars(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        pad = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(flat, out=pad[1:])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tok": b["n_tok"],
+                "tok_sum": pa.array(pad[offs[1:]] - pad[offs[:-1]]),
+            }
+        )
+
+    out = remapped.map_batches(
+        scalars, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out["tok_sum"] = out["tok_sum"].astype(np.int64)
+    return out
+
+
+Q56_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ids AS (
+  SELECT doc_id, (md5_number_lower(word) % 4096)::BIGINT AS tid FROM ex)
+SELECT doc_id, count(*)::INT AS n_tok,
+       sum((1597 * tid + 511) % 4096)::BIGINT AS tok_sum
+FROM ids GROUP BY doc_id
+"""
+
+
+def q57_pack_concat(sf_dir: str) -> pd.DataFrame:
+    """GPT-style concat-and-chunk packing (tokenops.pack_concat): within
+    each source, docs ordered by doc_id are conceptually concatenated and
+    cut every 512 tokens. Distributed as doc-index prefix-sum -> broadcast
+    offset attach -> boundary-aligned partial emission -> ONE bucketed
+    merge exchange; the oracle reproduces the same global order with a
+    row_number window over the exploded tokens."""
+    from modlyn_ray.stages.text import tokenize
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
+        ["doc_id", "source", "tokens", "n_tok"]
+    )
+    out = pack_concat(
+        seqs, context_len=512, group_col="source", key_col="doc_id",
+        emit_tokens=False, n_buckets=32,
+    ).to_pandas()
+    out = out[["source", "pack_no", "n_tok", "tok_sum"]].copy()
+    out["pack_no"] = out["pack_no"].astype(np.int64)
+    out["n_tok"] = out["n_tok"].astype(np.int64)
+    out["tok_sum"] = out["tok_sum"].astype(np.int64)
+    return out
+
+
+Q57_SQL = """
+WITH ex AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+ids AS (
+  SELECT source, doc_id, ord, (md5_number_lower(word) % 4096)::BIGINT AS tid
+  FROM ex),
+pos AS (
+  SELECT source, tid,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id, ord) - 1 AS gpos
+  FROM ids)
+SELECT source, (gpos // 512)::BIGINT AS pack_no,
+       count(*)::BIGINT AS n_tok, sum(tid)::BIGINT AS tok_sum
+FROM pos GROUP BY source, pack_no
+"""
+
+
+def q58_pack_greedy(sf_dir: str) -> pd.DataFrame:
+    """First-fit-sequential packing (tokenops.pack_greedy) — rows-only:
+    greedy no-split packing has no SQL form (each pack boundary depends on
+    the running remainder), so the query self-validates the conservation
+    invariant (sum of packed n_tok == corpus token count, computed in the
+    same pipeline) and pytest covers capacity/determinism
+    (tests/test_tokenops.py)."""
+    from modlyn_ray.stages.text import tokenize
+    from modlyn_ray.stages.tokenops import pack_greedy
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
+        ["doc_id", "tokens", "n_tok"]
+    )
+    total = int(seqs.sum("n_tok"))
+    out = pack_greedy(seqs, context_len=512, n_buckets=32).to_pandas()
+    packed = int(out["n_tok"].sum())
+    if packed != total:
+        raise AssertionError(
+            f"pack_greedy conservation violated: packed {packed} != corpus {total}"
+        )
+    out = out.sort_values(["bucket", "pack_no"]).reset_index(drop=True)
+    for c in ("pack_no", "n_docs", "n_tok", "tok_sum"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_per_brand": q02_top_parts_per_brand,
@@ -1933,6 +2113,10 @@ QUERIES = {
     "q52_pit_features": q52_pit_features,
     "q53_logreg_fullbatch": q53_logreg_fullbatch,
     "q54_unpivot": q54_unpivot,
+    "q55_chunk_sequences": q55_chunk_sequences,
+    "q56_vocab_remap": q56_vocab_remap,
+    "q57_pack_concat": q57_pack_concat,
+    "q58_pack_greedy": q58_pack_greedy,
 }
 
 ORACLES = {
@@ -1979,6 +2163,9 @@ ORACLES = {
     "q51_jaccard_eval": Q51_SQL,
     "q52_pit_features": Q52_SQL,
     "q54_unpivot": Q54_SQL,
+    "q55_chunk_sequences": Q55_SQL,
+    "q56_vocab_remap": Q56_SQL,
+    "q57_pack_concat": Q57_SQL,
     # Rows-only (genuinely non-SQL-expressible), each parity-checked in
     # pytest instead: q50/q53 (iterative Adam training, numpy-oracle
     # allclose), q32/q33 (hash-specific LSH/simhash pruning; the verify

@@ -1,8 +1,8 @@
 """Driver-gate rehearsal for the rows-only queries.
 
-Nine queries() entries carry no oracle_sql() (hash-specific LSH output,
+Ten queries() entries carry no oracle_sql() (hash-specific LSH output,
 iterative k-means recall, HLL estimation, quantile sketching, text
-embedding + ANN / near-dup, SGD training) — the external
+embedding + ANN / near-dup, SGD training, greedy packing) — the external
 driver only checks that they execute and return >= 0 rows with a stable
 schema at sf0.01. Rehearse exactly that here so a scale- or
 data-dependent failure (e.g. an IVF recall floor that holds at one sf
@@ -35,6 +35,7 @@ EXPECTED_COLUMNS = {
     },
     "q50_logreg_weights": {"class", "token_id", "weight"},
     "q53_logreg_fullbatch": {"class", "token_id", "weight"},
+    "q58_pack_greedy": {"bucket", "pack_no", "n_docs", "n_tok", "tok_sum"},
 }
 
 
@@ -44,7 +45,7 @@ def _rows_only_names():
     return sorted(set(e.queries()) - set(e.oracle_sql()))
 
 
-def test_rows_only_set_is_exactly_the_documented_nine(ray_session):
+def test_rows_only_set_is_exactly_the_documented_ten(ray_session):
     assert _rows_only_names() == sorted(EXPECTED_COLUMNS)
 
 

@@ -1,0 +1,182 @@
+"""Stage-level tests for the token-restructuring operators (tokenops):
+
+- chunk_sequences: windows match a plain-Python reference (non-overlap,
+  overlapping stride, drop_remainder); token values byte-identical.
+- remap_tokens: broadcast table lookup matches numpy; out-of-range raises.
+- pack_concat: concat-and-chunk packs match a python reference (order,
+  boundaries, short last pack, token content); broadcast == shuffle path;
+  partitioning-invariant.
+- pack_greedy: capacity + conservation invariants, deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _mk_seqs(rng, n_rows=200, vocab=1000, max_len=17, n_groups=3, int_keys=False):
+    lens = rng.integers(0, max_len, n_rows)
+    rows = []
+    for i in range(n_rows):
+        rows.append(
+            {
+                "doc_id": i * 7 if int_keys else f"d{i:04d}",
+                "source": f"s{int(rng.integers(0, n_groups))}",
+                "tokens": rng.integers(0, vocab, lens[i]).astype(np.int32).tolist(),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["n_tok"] = df["tokens"].map(len).astype(np.int32)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"]),
+            "source": pa.array(df["source"]),
+            "tokens": pa.array(df["tokens"].tolist(), pa.list_(pa.int32())),
+            "n_tok": pa.array(df["n_tok"], pa.int32()),
+        }
+    )
+    return df, tbl
+
+
+def _ref_chunks(df, C, stride, drop_remainder):
+    out = []
+    for _, r in df.iterrows():
+        toks = r["tokens"]
+        starts = range(0, max(len(toks), 0), stride)
+        for cno, s in enumerate(starts):
+            w = toks[s : s + C]
+            if not w:
+                continue
+            if drop_remainder and len(w) < C:
+                continue
+            out.append((r["doc_id"], cno, tuple(w)))
+    return sorted(out)
+
+
+def test_chunk_sequences_nonoverlap(ray_session):
+    from modlyn_ray.stages.tokenops import chunk_sequences
+
+    rng = np.random.default_rng(11)
+    df, tbl = _mk_seqs(rng)
+    got = chunk_sequences(rd.from_arrow(tbl), chunk_len=5).to_pandas()
+    ref = _ref_chunks(df, 5, 5, False)
+    have = sorted(
+        (r.doc_id, r.chunk_no, tuple(r.tokens)) for r in got.itertuples()
+    )
+    assert have == ref
+    assert (got["n_tok"] == got["tokens"].map(len)).all()
+
+
+def test_chunk_sequences_overlap_and_drop(ray_session):
+    from modlyn_ray.stages.tokenops import chunk_sequences
+
+    rng = np.random.default_rng(12)
+    df, tbl = _mk_seqs(rng, n_rows=80)
+    for C, s, drop in [(6, 3, False), (6, 3, True), (4, 4, True), (1, 1, False)]:
+        got = chunk_sequences(
+            rd.from_arrow(tbl), chunk_len=C, stride=s, drop_remainder=drop
+        ).to_pandas()
+        ref = _ref_chunks(df, C, s, drop)
+        have = sorted(
+            (r.doc_id, r.chunk_no, tuple(r.tokens)) for r in got.itertuples()
+        )
+        assert have == ref, (C, s, drop)
+
+
+def test_remap_tokens_matches_numpy_and_raises(ray_session):
+    import pytest
+
+    from modlyn_ray.stages.tokenops import remap_tokens
+
+    rng = np.random.default_rng(13)
+    df, tbl = _mk_seqs(rng, n_rows=60, vocab=500)
+    table = rng.permutation(500).astype(np.int32)
+    got = remap_tokens(rd.from_arrow(tbl), table, concurrency=2).to_pandas()
+    got = got.set_index("doc_id")
+    for _, r in df.iterrows():
+        want = table[np.asarray(r["tokens"], dtype=np.int64)].tolist()
+        assert list(got.loc[r["doc_id"], "tokens"]) == want
+
+    bad = remap_tokens(rd.from_arrow(tbl), table[:100], concurrency=2)
+    with pytest.raises(Exception, match="out of range"):
+        bad.to_pandas()
+
+
+def _ref_packs(df, C, emit_tokens=True):
+    out = {}
+    for g, sub in df.sort_values(["source", "doc_id"]).groupby("source", sort=False):
+        stream = [t for toks in sub["tokens"] for t in toks]
+        for p in range(0, (len(stream) + C - 1) // C):
+            w = stream[p * C : (p + 1) * C]
+            out[(g, p)] = (len(w), int(np.sum(w, dtype=np.int64)), tuple(w))
+    return out
+
+
+def test_pack_concat_matches_reference(ray_session):
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    rng = np.random.default_rng(14)
+    df, tbl = _mk_seqs(rng, n_rows=150)
+    C = 32
+    got = pack_concat(rd.from_arrow(tbl), C, n_buckets=8).to_pandas()
+    ref = _ref_packs(df, C)
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        n, s, w = ref[(r.source, r.pack_no)]
+        assert (r.n_tok, r.tok_sum, tuple(r.tokens)) == (n, s, w)
+    # every pack except a group's last is exactly full
+    last = got.groupby("source")["pack_no"].max()
+    full = got[got.apply(lambda r: r["pack_no"] < last[r["source"]], axis=1)]
+    assert (full["n_tok"] == C).all()
+
+
+def test_pack_concat_partitioning_invariant_and_shuffle_path(ray_session):
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    rng = np.random.default_rng(15)
+    df, tbl = _mk_seqs(rng, n_rows=120, int_keys=True)
+    C = 25
+
+    def norm(p):
+        return (
+            p.drop(columns=["tokens"], errors="ignore")
+            .sort_values(["source", "pack_no"])
+            .reset_index(drop=True)
+        )
+
+    base = norm(pack_concat(rd.from_arrow(tbl), C, n_buckets=8).to_pandas())
+    repart = norm(
+        pack_concat(rd.from_arrow(tbl).repartition(13), C, n_buckets=3).to_pandas()
+    )
+    pd.testing.assert_frame_equal(base, repart)
+
+    shuf = norm(
+        pack_concat(
+            rd.from_arrow(tbl), C, n_buckets=8, offsets_via="shuffle", emit_tokens=False
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(base, shuf)
+
+
+def test_pack_greedy_invariants(ray_session):
+    from modlyn_ray.stages.tokenops import pack_greedy
+
+    rng = np.random.default_rng(16)
+    df, tbl = _mk_seqs(rng, n_rows=300, max_len=40)
+    C = 64
+    got = pack_greedy(rd.from_arrow(tbl), C, n_buckets=8).to_pandas()
+    # conservation: every token counted exactly once
+    assert got["n_tok"].sum() == int(df["n_tok"].sum())
+    assert got["n_docs"].sum() == (df["n_tok"] > 0).sum() + (df["n_tok"] == 0).sum()
+    # capacity: packs with >1 doc never exceed C; singleton packs may
+    multi = got[got["n_docs"] > 1]
+    assert (multi["n_tok"] <= C).all()
+    # deterministic
+    again = pack_greedy(rd.from_arrow(tbl), C, n_buckets=8).to_pandas()
+    a = got.sort_values(["bucket", "pack_no"]).reset_index(drop=True)
+    b = again.sort_values(["bucket", "pack_no"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
