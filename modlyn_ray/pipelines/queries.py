@@ -1880,6 +1880,26 @@ FROM sess s ASOF LEFT JOIN purch p
 """
 
 
+def _seq_scalars(b: pa.Table) -> pa.Table:
+    """(doc_id, n_tok) + tok_sum per row — prefix-sum over the flat token
+    buffer, no Python per-row work."""
+    toks = b["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    pad = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(flat, out=pad[1:])
+    return pa.table(
+        {
+            "doc_id": b["doc_id"],
+            "n_tok": b["n_tok"],
+            "tok_sum": pa.array(pad[offs[1:]] - pad[offs[:-1]]),
+        }
+    )
+
+
 def _chunk_scalars(b: pa.Table) -> pa.Table:
     """(doc_id, chunk_no, n_tok) + tok_sum per chunk row — prefix-sum over
     the flat token buffer, no Python per-row work."""
@@ -1952,26 +1972,8 @@ def q56_vocab_remap(sf_dir: str) -> pd.DataFrame:
     )
     table = ((1597 * np.arange(4096, dtype=np.int64) + 511) % 4096).astype(np.int32)
     remapped = remap_tokens(seqs, table, concurrency=(2, 4))
-
-    def scalars(b: pa.Table) -> pa.Table:
-        toks = b["tokens"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = offs - offs[0]
-        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        pad = np.zeros(len(flat) + 1, dtype=np.int64)
-        np.cumsum(flat, out=pad[1:])
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "n_tok": b["n_tok"],
-                "tok_sum": pa.array(pad[offs[1:]] - pad[offs[:-1]]),
-            }
-        )
-
     out = remapped.map_batches(
-        scalars, batch_format="pyarrow", zero_copy_batch=True
+        _seq_scalars, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     out["tok_sum"] = out["tok_sum"].astype(np.int64)
     return out
@@ -2060,6 +2062,105 @@ def q58_pack_greedy(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q59_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test carving (sampling.hash_split): every
+    doc_id is assigned by its md5 bucket to named fractions — the same
+    16-bit scheme as q19's hash sampling, so the assignment is
+    partitioning- and resume-invariant and reproducible in SQL as a CASE
+    chain over the identical hash expression."""
+    from modlyn_ray.stages.sampling import hash_split
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).to_pandas()
+
+
+Q59_SQL = """
+SELECT doc_id,
+       CASE WHEN h < 52428 THEN 'train'
+            WHEN h < 58981 THEN 'val'
+            WHEN h < 65534 THEN 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT AS h
+      FROM documents)
+"""
+
+
+def q60_filter_tokens(sf_dir: str) -> pd.DataFrame:
+    """Stop-token scrub (tokenops.filter_tokens): drop every token id
+    divisible by 7 through the broadcast boolean LUT (ray.put once,
+    gather + re-offset per batch). Docs whose tokens are ALL removed stay
+    as empty sequences — the oracle's LEFT JOIN keeps them with n_tok 0."""
+    from modlyn_ray.stages.text import tokenize
+    from modlyn_ray.stages.tokenops import filter_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
+        ["doc_id", "tokens", "n_tok"]
+    )
+    from modlyn_ray.util import pool_size
+
+    remove = [i for i in range(4096) if i % 7 == 0]
+    kept = filter_tokens(seqs, remove, vocab=4096, concurrency=(1, pool_size(4)))
+    out = kept.map_batches(
+        _seq_scalars, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out["tok_sum"] = out["tok_sum"].astype(np.int64)
+    return out
+
+
+Q60_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ids AS (
+  SELECT doc_id, (md5_number_lower(word) % 4096)::BIGINT AS tid FROM ex),
+kept AS (SELECT doc_id, tid FROM ids WHERE tid % 7 <> 0)
+SELECT d.doc_id, count(k.tid)::INT AS n_tok,
+       coalesce(sum(k.tid), 0)::BIGINT AS tok_sum
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+def q61_dedup_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup on token-sequence content
+    (tokenops.dedup_by_token_content): among rows with element-identical
+    token lists keep min(doc_id) — hash-routed by a 128-bit content hash,
+    value-verified inside each bucket (a surviving collision raises). The
+    oracle groups by the actual ordered token list."""
+    from modlyn_ray.stages.text import tokenize
+    from modlyn_ray.stages.tokenops import dedup_by_token_content
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
+        ["doc_id", "tokens", "n_tok"]
+    )
+    kept = dedup_by_token_content(seqs, key_col="doc_id", n_buckets=32)
+    out = kept.map_batches(
+        _seq_scalars, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out["tok_sum"] = out["tok_sum"].astype(np.int64)
+    return out
+
+
+Q61_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+ids AS (
+  SELECT doc_id, ord, (md5_number_lower(word) % 4096)::BIGINT AS tid FROM ex),
+seqs AS (
+  SELECT doc_id, list(tid ORDER BY ord) AS toks,
+         count(*)::INT AS n_tok, sum(tid)::BIGINT AS tok_sum
+  FROM ids GROUP BY doc_id)
+SELECT min(doc_id) AS doc_id, any_value(n_tok) AS n_tok,
+       any_value(tok_sum) AS tok_sum
+FROM seqs GROUP BY toks
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_per_brand": q02_top_parts_per_brand,
@@ -2117,6 +2218,9 @@ QUERIES = {
     "q56_vocab_remap": q56_vocab_remap,
     "q57_pack_concat": q57_pack_concat,
     "q58_pack_greedy": q58_pack_greedy,
+    "q59_hash_split": q59_hash_split,
+    "q60_filter_tokens": q60_filter_tokens,
+    "q61_dedup_tokens": q61_dedup_tokens,
 }
 
 ORACLES = {
@@ -2166,6 +2270,9 @@ ORACLES = {
     "q55_chunk_sequences": Q55_SQL,
     "q56_vocab_remap": Q56_SQL,
     "q57_pack_concat": Q57_SQL,
+    "q59_hash_split": Q59_SQL,
+    "q60_filter_tokens": Q60_SQL,
+    "q61_dedup_tokens": Q61_SQL,
     # Rows-only (genuinely non-SQL-expressible), each parity-checked in
     # pytest instead: q50/q53 (iterative Adam training, numpy-oracle
     # allclose), q32/q33 (hash-specific LSH/simhash pruning; the verify

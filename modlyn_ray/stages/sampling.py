@@ -128,3 +128,58 @@ def stratified_hash_sample(
         zero_copy_batch=True,
         concurrency=concurrency or pool_size(4),
     )
+
+
+class _HashSplitter(_HashSampler):
+    """Actor: label every row with its deterministic split name.
+
+    ``thresholds`` here is the CUMULATIVE 16-bit boundary list paired with
+    ``names`` — a row with md5 bucket h gets the first split whose boundary
+    exceeds h (SQL: the same CASE WHEN h < b1 ... chain). Rows beyond the
+    last boundary (fractions summing < 1) and null keys get a NULL split."""
+
+    def __init__(self, key_col: str, bounds: list[int], names: list[str]):
+        super().__init__(key_col, 0, None)
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.names = pa.array(list(names) + [None], pa.string())
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        col = b[self.key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = self._bucket16(col)  # null keys -> 65536, beyond every boundary
+        idx = np.searchsorted(self.bounds, h, side="right")
+        return b.append_column(
+            "split", self.names.take(pa.array(idx))
+        ).replace_schema_metadata(None)
+
+
+def hash_split(
+    ds: Dataset,
+    key_col: str,
+    fractions: dict[str, float],
+    concurrency: int | None = None,
+) -> Dataset:
+    """Deterministic train/val/test carving: append a ``split`` column
+    assigning each row by md5(key) to named fractions (quantized to
+    1/65536, same scheme as ``hash_sample`` — partitioning- and
+    resume-invariant, and all rows sharing a key land in the same split).
+    Fractions summing below 1 leave the remainder with a NULL split
+    (filter downstream); summing above 1 raises."""
+    total = 0
+    bounds, names = [], []
+    for name, frac in fractions.items():
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in (0, 1], got {frac}")
+        total += rate_to_threshold(frac)
+        bounds.append(total)
+        names.append(name)
+    if total > 65536:
+        raise ValueError(f"fractions sum above 1 (quantized {total}/65536)")
+    return ds.map_batches(
+        _HashSplitter,
+        fn_constructor_kwargs={"key_col": key_col, "bounds": bounds, "names": names},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or pool_size(4),
+    )

@@ -454,3 +454,162 @@ def pack_greedy(
         .groupby("bucket")
         .map_groups(pack_bucket, batch_format="pyarrow")
     )
+
+
+class _TokenFilterActor:
+    """Broadcast keep/drop LUT: ray.put once, one boolean gather + list
+    re-offsetting per batch. Ids at or beyond the LUT length are kept
+    (the LUT covers the known vocab prefix)."""
+
+    def __init__(self, lut_ref, tokens_col: str):
+        self.drop = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+        self.tokens_col = tokens_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        offs, flat_np, flat = _list_parts(b[self.tokens_col])
+        n = len(b)
+        in_range = flat_np < len(self.drop)
+        dropm = np.zeros(len(flat_np), dtype=bool)
+        dropm[in_range] = self.drop[flat_np[in_range]]
+        keep = ~dropm
+        # new per-row lengths = kept count per row (cumsum-diff, no loop)
+        kc = np.zeros(len(flat_np) + 1, dtype=np.int64)
+        np.cumsum(keep, out=kc[1:])
+        new_lens = kc[offs[1:]] - kc[offs[:-1]]
+        new_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offs[1:])
+        toks = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()),
+            pa.array(flat_np[keep], type=flat.type),
+        )
+        i = b.schema.get_field_index(self.tokens_col)
+        b = b.set_column(i, self.tokens_col, toks)
+        if "n_tok" in b.column_names:
+            j = b.schema.get_field_index("n_tok")
+            b = b.set_column(
+                j, "n_tok", pa.array(new_lens.astype(np.int32))
+            )
+        return b.replace_schema_metadata(None)
+
+
+def filter_tokens(
+    ds: Dataset,
+    remove,
+    vocab: int | None = None,
+    tokens_col: str = "tokens",
+    concurrency=(2, 8),
+) -> Dataset:
+    """Drop the ids in ``remove`` from every token list (stop-token /
+    special-token scrub). The removal set is broadcast once as a boolean
+    LUT; per batch the kernel is one gather + one cumsum re-offsetting.
+    ``n_tok`` is kept consistent when present."""
+    remove = np.asarray(sorted(set(int(t) for t in remove)), dtype=np.int64)
+    if len(remove) and remove.min() < 0:
+        raise ValueError("negative token ids in remove set")
+    size = int(vocab) if vocab is not None else (int(remove.max()) + 1 if len(remove) else 1)
+    lut = np.zeros(size, dtype=bool)
+    lut[remove[remove < size]] = True
+    ref = ray.put(lut)
+    return ds.map_batches(
+        _TokenFilterActor,
+        fn_constructor_args=(ref, tokens_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def _content_hashes(offs: np.ndarray, flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit polynomial hashes per row over its tokens
+    (order-sensitive), vectorized: position-weighted prefix sums with
+    natural uint64 wraparound. Restarting the power at each row start
+    makes the hash a pure function of the row's token sequence."""
+    lens = np.diff(offs)
+    total = int(offs[-1])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+    out = []
+    vals = flat.astype(np.uint64) + np.uint64(1)
+    maxlen = int(lens.max()) if len(lens) else 0
+    for r in (np.uint64(1000003), np.uint64(10000019)):
+        pows = np.ones(max(maxlen, 1), dtype=np.uint64)
+        np.cumprod(np.full(max(maxlen, 1), r, dtype=np.uint64), out=pows)
+        contrib = vals * pows[pos]
+        cs = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(contrib, out=cs[1:])
+        out.append((cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64))
+    return out[0], out[1]
+
+
+def dedup_by_token_content(
+    ds: Dataset,
+    key_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_buckets: int = 64,
+) -> Dataset:
+    """Exact dedup on token-sequence CONTENT: among rows whose token lists
+    are element-for-element identical, keep the one with the minimum
+    ``key_col`` — the post-tokenization twin of exact text dedup.
+
+    Hash-routed, value-exact (stages/dedup.py's contract): rows are
+    bucketed by a 64-bit content hash, and inside each bucket candidate
+    groups (equal 128-bit hash pair + equal length) are verified by
+    comparing the actual token values vectorized against the group head —
+    a collision that survives both hashes AND equal length raises rather
+    than silently merging distinct sequences."""
+
+    def project(b: pa.Table) -> pa.Table:
+        offs, flat_np, _ = _list_parts(b[tokens_col])
+        h1, h2 = _content_hashes(offs, flat_np)
+        bucket = (h1 % np.int64(n_buckets)).astype(np.int32)
+        b = b.append_column("__h1", pa.array(h1)).append_column("__h2", pa.array(h2))
+        return b.append_column("bucket", pa.array(np.abs(bucket))).replace_schema_metadata(None)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        offs, flat_np, _ = _list_parts(g[tokens_col])
+        lens = np.diff(offs)
+        h1 = g["__h1"].combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = g["__h2"].combine_chunks().to_numpy(zero_copy_only=False)
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        korder = pc.sort_indices(keys).to_numpy(zero_copy_only=False).astype(np.int64)
+        krank = np.empty_like(korder)
+        krank[korder] = np.arange(len(korder))
+        order = np.lexsort((krank, lens, h2, h1))
+        sh1, sh2, sl = h1[order], h2[order], lens[order]
+        new_grp = np.empty(len(order), dtype=bool)
+        if len(order):
+            new_grp[0] = True
+            new_grp[1:] = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1]) | (sl[1:] != sl[:-1])
+        gid = np.cumsum(new_grp) - 1
+        heads = np.flatnonzero(new_grp)
+        # verify every member of a multi-row group against its head
+        members = np.flatnonzero(~new_grp)
+        if len(members):
+            head_of = heads[gid[members]]
+            m_rows, h_rows = order[members], order[head_of]
+            m_len = lens[m_rows]
+            m_idx = np.repeat(offs[:-1][m_rows], m_len) + (
+                np.arange(int(m_len.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(m_len) - m_len, m_len)
+            )
+            h_idx = np.repeat(offs[:-1][h_rows], m_len) + (
+                np.arange(int(m_len.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(m_len) - m_len, m_len)
+            )
+            if not np.array_equal(flat_np[m_idx], flat_np[h_idx]):
+                raise RuntimeError(
+                    "dedup_by_token_content: 128-bit content-hash collision "
+                    "between distinct token sequences — rehash with different "
+                    "primes or report this input"
+                )
+        keep_rows = order[heads]
+        mask = np.zeros(len(g), dtype=bool)
+        mask[keep_rows] = True
+        return g.filter(pa.array(mask)).drop_columns(["__h1", "__h2", "bucket"])
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -180,3 +180,89 @@ def test_pack_greedy_invariants(ray_session):
     a = got.sort_values(["bucket", "pack_no"]).reset_index(drop=True)
     b = again.sort_values(["bucket", "pack_no"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_filter_tokens_matches_reference(ray_session):
+    from modlyn_ray.stages.tokenops import filter_tokens
+
+    rng = np.random.default_rng(17)
+    df, tbl = _mk_seqs(rng, n_rows=120, vocab=300)
+    remove = set(rng.choice(300, 40, replace=False).tolist())
+    got = filter_tokens(
+        rd.from_arrow(tbl), remove, vocab=300, concurrency=2
+    ).to_pandas().set_index("doc_id")
+    for _, r in df.iterrows():
+        want = [t for t in r["tokens"] if t not in remove]
+        assert list(got.loc[r["doc_id"], "tokens"]) == want
+        assert got.loc[r["doc_id"], "n_tok"] == len(want)
+
+
+def test_dedup_by_token_content(ray_session):
+    from modlyn_ray.stages.tokenops import dedup_by_token_content
+
+    rng = np.random.default_rng(18)
+    df, _ = _mk_seqs(rng, n_rows=100, vocab=50, max_len=6)
+    # plant exact content duplicates with later keys
+    dup = df.iloc[:20].copy()
+    dup["doc_id"] = [f"z{i:04d}" for i in range(20)]
+    allr = pd.concat([df, dup], ignore_index=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(allr["doc_id"]),
+            "source": pa.array(allr["source"]),
+            "tokens": pa.array(allr["tokens"].tolist(), pa.list_(pa.int32())),
+            "n_tok": pa.array(allr["n_tok"], pa.int32()),
+        }
+    )
+    got = dedup_by_token_content(rd.from_arrow(tbl), n_buckets=8).to_pandas()
+    # reference: min doc_id per distinct token tuple
+    ref = {}
+    for _, r in allr.iterrows():
+        k = tuple(r["tokens"])
+        ref[k] = min(ref.get(k, r["doc_id"]), r["doc_id"])
+    assert sorted(got["doc_id"]) == sorted(ref.values())
+    # content preserved on kept rows
+    kept = got.set_index("doc_id")
+    for k, d in ref.items():
+        assert tuple(kept.loc[d, "tokens"]) == k
+    # partitioning invariance
+    again = dedup_by_token_content(
+        rd.from_arrow(tbl).repartition(7), n_buckets=3
+    ).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_hash_split_deterministic_and_matches_sql(ray_session):
+    import duckdb
+
+    from modlyn_ray.stages.sampling import hash_split
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({"k": [f"key{i}" for i in range(2000)],
+                       "v": rng.integers(0, 100, 2000)})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = hash_split(rd.from_pandas(df), "k", fr, concurrency=2).to_pandas()
+    t1 = int(0.8 * 65536); t2 = t1 + int(0.1 * 65536); t3 = t2 + int(0.1 * 65536)
+    con = duckdb.connect(); con.register("t", df)
+    want = con.execute(f"""
+        SELECT k, CASE WHEN h < {t1} THEN 'train'
+                       WHEN h < {t2} THEN 'val'
+                       WHEN h < {t3} THEN 'test' END AS split
+        FROM (SELECT k, ('0x' || substr(md5(k), 1, 4))::INT AS h FROM t)
+    """).df()
+    m = got.merge(want, on="k", suffixes=("_got", "_sql"))
+    assert (m["split_got"] == m["split_sql"]).all()
+    # same key -> same split under any partitioning
+    again = hash_split(rd.from_pandas(df).repartition(11), "k", fr, concurrency=2).to_pandas()
+    m2 = got.merge(again, on="k", suffixes=("_a", "_b"))
+    assert (m2["split_a"] == m2["split_b"]).all()
+
+
+def test_hash_split_rejects_oversum(ray_session):
+    import pytest
+
+    from modlyn_ray.stages.sampling import hash_split
+    import ray.data as rdd
+
+    with pytest.raises(ValueError, match="sum above 1"):
+        hash_split(rdd.range(10), "id", {"a": 0.7, "b": 0.5})
