@@ -206,6 +206,11 @@ def pack_concat(
         # broadcast mode declares it driver-resident: sort + per-group
         # exclusive cumsum in pandas, one ray.put, zero-copy reads per actor
         idx = index.to_pandas().sort_values([group_col, key_col], kind="mergesort")
+        if idx[key_col].duplicated().any():
+            raise ValueError(
+                f"pack_concat: {key_col!r} must be unique (the offset lookup "
+                "cannot distinguish duplicate keys)"
+            )
         ex = idx.groupby(group_col, sort=False)["n_tok"].cumsum() - idx["n_tok"]
         keys = pa.Array.from_pandas(idx[key_col])
         gstart = ex.to_numpy(dtype=np.int64)

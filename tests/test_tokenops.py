@@ -266,3 +266,20 @@ def test_hash_split_rejects_oversum(ray_session):
 
     with pytest.raises(ValueError, match="sum above 1"):
         hash_split(rdd.range(10), "id", {"a": 0.7, "b": 0.5})
+
+
+def test_pack_concat_rejects_duplicate_keys(ray_session):
+    import pytest
+
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "a", "b"]),
+            "source": pa.array(["s", "s", "s"]),
+            "tokens": pa.array([[1, 2], [3], [4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1, 1], pa.int32()),
+        }
+    )
+    with pytest.raises(Exception, match="must be unique"):
+        pack_concat(rd.from_arrow(tbl), 4, n_buckets=2).to_pandas()
