@@ -174,9 +174,9 @@ def run_benchmark() -> dict:
 
     bench_queries = [
         "q01_pricing_summary",
-        "q05_distinct_parts",
         "q10_lag_lead",
-        "q11_sessionize",
+        "q35_streaming_sessionize",
+        "q48_set_ops",
         "q13_asof_join",
         "q20_word_stats",
         "q22_exact_dedup",

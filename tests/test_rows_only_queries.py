@@ -23,7 +23,6 @@ SF = "/root/testdata/sf0.01"
 EXPECTED_COLUMNS = {
     "q32_minhash_dedup": {"doc_id", "cluster_id", "is_kept"},
     "q33_simhash_pairs": {"a", "b", "hamming"},
-    "q34_knn_ivf_recall": {"n_queries", "k", "n_true", "recall_floor"},
     "q36_approx_distinct": {"column", "exact", "hll_estimate", "within_5pct"},
     "q45_embed_knn": {"n_queries", "k", "dim", "n_true", "recall_floor"},
     "q47_embed_dedup": {
