@@ -18,6 +18,13 @@ Dedup timing row:
 Exchange A/B (same-session interleaved):
     python bench.py --pit-ab       # pit_features tokens-emitted vs
                                    # emit_tokens=False (tokens never shuffled)
+Token-ops timing rows:
+    python bench.py --tokenops-bench  # pack_concat (shuffle/broadcast x
+                                      # tokens/counts) + token-content dedup
+                                      # over the 2M-row BENCH corpus
+Fullbatch-trainer timing row:
+    python bench.py --logreg-bench    # fit_logreg_fullbatch over the 8M-row
+                                      # SCALE corpus, GRAFT_LOGREG_STEPS=4
 Streaming sessionizer timing row:
     python bench.py --streaming-bench  # process_ordered_stream actor path,
                                        # GRAFT_STREAM_ROWS=8000000
@@ -603,6 +610,145 @@ def run_dedup_bench() -> dict:
     return result
 
 
+def run_tokenops_bench() -> dict:
+    """Timing rows for the token-restructuring family over the 2M-row BENCH
+    sequences corpus: pack_concat (GPT-style concat-and-cut, both offset
+    attach paths x both emit_tokens variants — exposing what the packing
+    exchange actually ships) and dedup_by_token_content (content-hash
+    bucketed exact dedup)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from modlyn_ray import synth
+    from modlyn_ray.stages.tokenops import dedup_by_token_content, pack_concat
+
+    profile = synth.PROFILES[os.environ.get("GRAFT_PROFILE", "bench")]
+    bench_dir = synth.ensure_profile(profile)
+    seq_path = f"{bench_dir}/sequences"
+    n_rows = profile.n_rows
+    n_tokens = int(rd.read_parquet(seq_path, columns=["n_tok"]).sum("n_tok"))
+    C = int(os.environ.get("GRAFT_PACK_CONTEXT", "2048"))
+    n_buckets = max(32, num_cpus * 2)
+    n_rounds = int(os.environ.get("GRAFT_BENCH_ROUNDS", "3"))
+
+    def read():
+        return rd.read_parquet(seq_path)
+
+    # seq_no is the globally unique int64 row id in every synth profile —
+    # the right packing key (doc_id repeats across a doc's sequences)
+    def pack(via: str, emit: bool):
+        return pack_concat(
+            read(), C, group_col="source", key_col="seq_no",
+            emit_tokens=emit, n_buckets=n_buckets, offsets_via=via,
+        )
+
+    results: dict[str, dict] = {}
+    pack(os.environ.get("GRAFT_PACK_WARM_VIA", "shuffle"), True).count()  # warmup
+    for via in ("shuffle", "broadcast"):
+        for emit in (True, False):
+            rounds = []
+            out_rows = 0
+            for _ in range(n_rounds):
+                t0 = time.perf_counter()
+                out_rows = pack(via, emit).count()
+                rounds.append(round(time.perf_counter() - t0, 3))
+            best = min(rounds)
+            results[f"pack_concat_{via}_{'tokens' if emit else 'counts'}"] = {
+                "sec": best,
+                "rounds": rounds,
+                "out_packs": out_rows,
+                "seqs_per_sec": round(n_rows / best, 1),
+                "tokens_per_sec": round(n_tokens / best, 1),
+            }
+
+    dedup_rounds = []
+    kept = 0
+    dedup_by_token_content(read(), n_buckets=n_buckets).count()  # warmup
+    for _ in range(n_rounds):
+        t0 = time.perf_counter()
+        kept = dedup_by_token_content(read(), n_buckets=n_buckets).count()
+        dedup_rounds.append(round(time.perf_counter() - t0, 3))
+    best = min(dedup_rounds)
+    results["dedup_by_token_content"] = {
+        "sec": best,
+        "rounds": dedup_rounds,
+        "rows_kept": kept,
+        "seqs_per_sec": round(n_rows / best, 1),
+        "tokens_per_sec": round(n_tokens / best, 1),
+    }
+
+    out = {
+        "metric": f"token-ops wall time ({profile.name}: {n_rows} seqs, "
+        f"{n_tokens} tokens, context_len={C})",
+        "value": results["pack_concat_shuffle_tokens"]["sec"],
+        "unit": "sec",
+        "results": results,
+        "num_cpus": num_cpus,
+        "hw_burn_tasks_per_sec": round(_hw_throughput(8, _burn), 3),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_logreg_bench() -> dict:
+    """Timing row for the scale-path trainer (fit_logreg_fullbatch):
+    synchronous full-gradient Adam over the 8M-row SCALE corpus — per-step
+    sparse gradient partials in map_batches against ray.put-broadcast
+    weights, tree-reduced. Reports per-step wall time and row-visits/sec
+    (rows x steps / total)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from modlyn_ray import synth
+    from modlyn_ray.stages.logreg import LogRegConfig, fit_logreg_fullbatch
+
+    profile = synth.PROFILES[os.environ.get("GRAFT_PROFILE", "scale")]
+    bench_dir = synth.ensure_profile(profile)
+    ds = rd.read_parquet(f"{bench_dir}/sequences")
+    n_rows = profile.n_rows
+    steps = int(os.environ.get("GRAFT_LOGREG_STEPS", "4"))
+    cfg = LogRegConfig(vocab=profile.vocab)
+
+    fit_logreg_fullbatch(ds, cfg, steps=1)  # warmup (workers + materialize)
+    rounds = []
+    for _ in range(int(os.environ.get("GRAFT_BENCH_ROUNDS", "3"))):
+        t0 = time.perf_counter()
+        model = fit_logreg_fullbatch(ds, cfg, steps=steps)
+        rounds.append(round(time.perf_counter() - t0, 3))
+        assert model.W.shape[1] == profile.vocab
+    best = min(rounds)
+    result = {
+        "metric": f"fullbatch logreg wall time ({profile.name}: {n_rows} rows, "
+        f"vocab {profile.vocab}, {steps} steps)",
+        "value": best,
+        "unit": "sec",
+        "rounds": rounds,
+        "sec_per_step": round(best / steps, 3),
+        "row_visits_per_sec": round(n_rows * steps / best, 1),
+        "num_cpus": num_cpus,
+        "hw_burn_tasks_per_sec": round(_hw_throughput(8, _burn), 3),
+    }
+    ray.shutdown()
+    return result
+
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -610,6 +756,10 @@ if __name__ == "__main__":
         print(json.dumps(run_dedup_bench()))
     elif "--pit-ab" in sys.argv:
         print(json.dumps(run_pit_ab()))
+    elif "--tokenops-bench" in sys.argv:
+        print(json.dumps(run_tokenops_bench()))
+    elif "--logreg-bench" in sys.argv:
+        print(json.dumps(run_logreg_bench()))
     elif "--streaming-bench" in sys.argv:
         print(json.dumps(run_streaming_bench()))
     else:

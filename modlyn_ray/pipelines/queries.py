@@ -1781,7 +1781,7 @@ def q56_vocab_remap(sf_dir: str) -> pd.DataFrame:
         ["doc_id", "tokens", "n_tok"]
     )
     table = ((1597 * np.arange(4096, dtype=np.int64) + 511) % 4096).astype(np.int32)
-    remapped = remap_tokens(seqs, table, concurrency=(2, 4))
+    remapped = remap_tokens(seqs, table, concurrency=(1, 4))
     out = remapped.map_batches(
         _seq_scalars, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()

@@ -83,9 +83,9 @@ def knn_brute(
     ties broken by neighbor_id asc (deterministic)."""
     qids, Q = queries
     q_ref = ray.put((np.asarray(qids), np.asarray(Q, dtype=np.float64)))
-    from modlyn_ray.util import pool_size
+    from modlyn_ray.util import pool_bounds
 
-    concurrency = pool_size(concurrency)
+    concurrency = pool_bounds(concurrency)
     parts = ds.map_batches(
         _BruteScorer,
         fn_constructor_kwargs={
@@ -192,11 +192,11 @@ def knn_ivf(
                 }
             )
 
-    from modlyn_ray.util import pool_size
+    from modlyn_ray.util import pool_bounds
 
     parts = ds.map_batches(
         Scorer, batch_format="pyarrow", batch_size=8192,
-        concurrency=pool_size(2), zero_copy_batch=True,
+        concurrency=pool_bounds(2), zero_copy_batch=True,
     ).to_pandas()
     parts = parts.sort_values(
         ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True], kind="stable"
@@ -270,10 +270,10 @@ def knn_lsh(
                 }
             )
 
-    from modlyn_ray.util import pool_size
+    from modlyn_ray.util import pool_bounds
 
     parts = ds.map_batches(
-        Scorer, batch_format="pyarrow", batch_size=8192, concurrency=pool_size(2), zero_copy_batch=True
+        Scorer, batch_format="pyarrow", batch_size=8192, concurrency=pool_bounds(2), zero_copy_batch=True
     ).to_pandas()
     parts = parts.sort_values(
         ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True], kind="stable"

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from modlyn_ray.util import pool_size
+from modlyn_ray.util import pool_bounds
 
 # mix constants: any fixed odd multipliers give a stable rolling hash; the
 # shift picks an independent bit for the sign so bucket and sign decorrelate
@@ -124,5 +124,5 @@ def embed_text(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency or pool_size(4),
+        concurrency=concurrency or pool_bounds(4),
     )

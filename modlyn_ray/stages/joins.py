@@ -319,13 +319,13 @@ def broadcast_inner_join(
                 b, self.rtbl, left_on=left_on, right_cols=right_cols, vtypes=vtypes
             )
 
-    from modlyn_ray.util import pool_size
+    from modlyn_ray.util import pool_bounds
 
     return left.map_batches(
         _BcastJoin,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or pool_size(4),
+        concurrency=concurrency or pool_bounds(4),
     )
 
 
@@ -354,11 +354,11 @@ def broadcast_semi_join(
             mask = np.isin(col, self.keys)
             return b.filter(pa.array(~mask if anti else mask))
 
-    from modlyn_ray.util import pool_size
+    from modlyn_ray.util import pool_bounds
 
     return left.map_batches(
         _Filter,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or pool_size(4),
+        concurrency=concurrency or pool_bounds(4),
     )

@@ -497,9 +497,9 @@ class LogRegScorer:
 
 
 def predict(ds: Dataset, model: LogRegModel, concurrency: int = 4, batch_size: int = 4096) -> Dataset:
-    from modlyn_ray.util import pool_size
+    from modlyn_ray.util import pool_bounds
 
-    concurrency = pool_size(concurrency)
+    concurrency = pool_bounds(concurrency)
     ref = ray.put((model.W, model.b, model.classes))
     return ds.map_batches(
         LogRegScorer,

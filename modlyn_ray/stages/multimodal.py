@@ -107,9 +107,9 @@ def featurize_media(
     concurrency: int = 2,
     batch_size: int = 256,
 ) -> Dataset:
-    from modlyn_ray.util import pool_size
+    from modlyn_ray.util import pool_bounds
 
-    concurrency = pool_size(concurrency)
+    concurrency = pool_bounds(concurrency)
     return ds.map_batches(
         MediaFeaturizer,
         fn_constructor_kwargs={"feature_dim": feature_dim, "decode": decode},

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
-from modlyn_ray.util import pool_size
+from modlyn_ray.util import pool_bounds
 
 
 def rate_to_threshold(frac: float) -> int:
@@ -103,7 +103,7 @@ def hash_sample(
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or pool_size(4),
+        concurrency=concurrency or pool_bounds(4),
     )
 
 
@@ -126,7 +126,7 @@ def stratified_hash_sample(
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or pool_size(4),
+        concurrency=concurrency or pool_bounds(4),
     )
 
 
@@ -181,5 +181,5 @@ def hash_split(
         fn_constructor_kwargs={"key_col": key_col, "bounds": bounds, "names": names},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or pool_size(4),
+        concurrency=concurrency or pool_bounds(4),
     )

@@ -311,9 +311,9 @@ class LangId:
 
 
 def lang_id(ds: Dataset, concurrency: int = 2, batch_size: int = 4096) -> Dataset:
-    from modlyn_ray.util import pool_size
+    from modlyn_ray.util import pool_bounds
 
-    concurrency = pool_size(concurrency)
+    concurrency = pool_bounds(concurrency)
     return ds.map_batches(
         LangId,
         batch_format="pyarrow",
@@ -383,14 +383,14 @@ def fingerprint(
 ) -> Dataset:
     """Content fingerprint per doc: md5 hex (exactly DuckDB's md5()) + a
     64-bit rolling polynomial word hash for shingling-style dedup."""
-    from modlyn_ray.util import pool_size
+    from modlyn_ray.util import pool_bounds
 
     return ds.map_batches(
         Fingerprinter,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=pool_size(concurrency),
+        concurrency=pool_bounds(concurrency),
         zero_copy_batch=True,
     )
 

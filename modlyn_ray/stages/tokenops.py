@@ -43,6 +43,18 @@ def _list_parts(col) -> tuple[np.ndarray, np.ndarray, pa.Array]:
     return offs, flat.to_numpy(zero_copy_only=False), flat
 
 
+def _composite_key(group_col, key_col) -> pa.Array:
+    """Group-qualified key: cast both to string and join with an unlikely
+    separator, using the same Arrow kernels on every side of a lookup so
+    the rendered strings always agree."""
+    parts = []
+    for col in (group_col, key_col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts.append(pc.cast(col, pa.string()))
+    return pc.binary_join_element_wise(parts[0], parts[1], "\x1f")
+
+
 def chunk_sequences(
     ds: Dataset,
     chunk_len: int,
@@ -119,18 +131,16 @@ class _RemapActor:
         self.tokens_col = tokens_col
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        col = b[self.tokens_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.flatten()
-        flat_np = flat.to_numpy(zero_copy_only=False)
+        # _list_parts rebases offsets so sliced (non-zero-offset) arrays are
+        # handled like every other kernel in this module
+        offs, flat_np, _flat = _list_parts(b[self.tokens_col])
         if len(flat_np) and (flat_np.min() < 0 or flat_np.max() >= self.vocab):
             raise ValueError(
                 f"token id out of range for remap table of size {self.vocab}: "
                 f"[{flat_np.min()}, {flat_np.max()}]"
             )
         mapped = self.table[flat_np]
-        toks = pa.ListArray.from_arrays(col.offsets, pa.array(mapped))
+        toks = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), pa.array(mapped))
         i = b.schema.get_field_index(self.tokens_col)
         return b.set_column(i, self.tokens_col, toks).replace_schema_metadata(None)
 
@@ -139,7 +149,7 @@ def remap_tokens(
     ds: Dataset,
     table: np.ndarray,
     tokens_col: str = "tokens",
-    concurrency=(2, 8),
+    concurrency=(1, 8),
 ) -> Dataset:
     """Remap every token id through ``table`` (``new_id = table[old_id]``).
 
@@ -166,15 +176,18 @@ def pack_concat(
     tokens_col: str = "tokens",
     emit_tokens: bool = True,
     n_buckets: int = 64,
-    offsets_via: str = "broadcast",
+    offsets_via: str = "auto",
+    broadcast_max_docs: int = 10_000_000,
 ) -> Dataset:
     """Concat-and-chunk packing: within each ``group_col``, order rows by
-    ``key_col`` (must be unique per group), conceptually concatenate their
-    token streams, and cut a pack boundary every ``context_len`` tokens.
-    Output: one row per (group, pack_no) with ``n_tok``, ``tok_sum``
-    (int64 sum of token ids — a cheap content checksum) and, when
-    ``emit_tokens``, the pack's token list.  The last pack of a group may
-    be short.
+    ``key_col`` (must be unique WITHIN its group — both attach paths key
+    offsets on the (group, key) pair, the broadcast index raises on a
+    duplicate pair, and the merge exchange rejects overlapping spans), and
+    conceptually concatenate their token streams, cutting a pack boundary
+    every ``context_len`` tokens.  Output: one row per (group, pack_no)
+    with ``n_tok``, ``tok_sum`` (int64 sum of token ids — a cheap content
+    checksum) and, when ``emit_tokens``, the pack's token list.  The last
+    pack of a group may be short.
 
     Distributed shape (no stage holds a group's token stream):
 
@@ -186,41 +199,70 @@ def pack_concat(
        into a hierarchical (range-bucketed) prefix sum; at the sandbox
        profiles the per-group index task holds only (key, n_tok) pairs.
     2. *offset attach* — join the offsets back to the full rows:
-       ``offsets_via="broadcast"`` ships the doc index once via
-       ``ray.put`` (right shape for a small-side index);
-       ``"shuffle"`` routes through the bucketed hash join for doc counts
-       that outgrow a broadcast.
+       ``offsets_via="broadcast"`` ships the doc index once via ``ray.put``
+       (right shape for a small-side index, but DRIVER-RESIDENT — ~30 B/doc
+       at the driver); ``"shuffle"`` routes through the bucketed hash join
+       and never materializes the index in one place.  The default
+       ``"auto"`` counts the index (one cheap projected pass) and picks
+       broadcast at or below ``broadcast_max_docs`` (default 1e7 docs ~
+       300 MB at the driver), shuffle above — pass ``offsets_via``
+       explicitly to skip the counting pass.  The shuffle path orders by
+       ``key_col`` inside windowize, so it needs integer/timestamp keys;
+       auto raises (rather than silently falling back to a driver-sized
+       broadcast) when the count demands shuffle but the key is a string.
     3. *partial emission* — per batch, each row cuts its span at global
        multiples of ``context_len`` (pure offset arithmetic) and emits
        per-pack partial rows; ONE bucketed exchange on hash(group,
        pack_no) merges partials — vectorized inside each bucket task, no
-       per-pack Ray groups.
+       per-pack Ray groups.  A merge bucket holds at most ~2^31 token
+       values (int32 list offsets); the merge raises with guidance to
+       raise ``n_buckets`` before overflowing.
     """
     if context_len < 1:
         raise ValueError(f"context_len must be >= 1, got {context_len}")
 
     index = ds.select_columns([group_col, key_col, "n_tok"])
 
+    if offsets_via == "auto":
+        n_docs = index.count()
+        if n_docs <= broadcast_max_docs:
+            offsets_via = "broadcast"
+        else:
+            sch = index.schema()
+            ktype = dict(zip(sch.names, sch.types))[key_col]
+            if not (pa.types.is_integer(ktype) or pa.types.is_temporal(ktype)):
+                raise ValueError(
+                    f"pack_concat: {n_docs} docs exceeds broadcast_max_docs="
+                    f"{broadcast_max_docs} but {key_col!r} is {ktype} — the "
+                    "distributed shuffle attach needs integer/timestamp keys. "
+                    "Map keys to integers upstream, or force "
+                    "offsets_via='broadcast' if the driver can hold the index."
+                )
+            offsets_via = "shuffle"
+
     if offsets_via == "broadcast":
         # the doc index (group, key, n_tok) is ~1/1000 of the token bytes;
         # broadcast mode declares it driver-resident: sort + per-group
         # exclusive cumsum in pandas, one ray.put, zero-copy reads per actor
         idx = index.to_pandas().sort_values([group_col, key_col], kind="mergesort")
-        if idx[key_col].duplicated().any():
+        if idx.duplicated([group_col, key_col]).any():
             raise ValueError(
-                f"pack_concat: {key_col!r} must be unique (the offset lookup "
-                "cannot distinguish duplicate keys)"
+                f"pack_concat: {key_col!r} must be unique within each "
+                f"{group_col!r} group (the offset lookup cannot distinguish "
+                "duplicate (group, key) pairs)"
             )
         ex = idx.groupby(group_col, sort=False)["n_tok"].cumsum() - idx["n_tok"]
-        keys = pa.Array.from_pandas(idx[key_col])
+        keys = _composite_key(
+            pa.Array.from_pandas(idx[group_col]), pa.Array.from_pandas(idx[key_col])
+        )
         gstart = ex.to_numpy(dtype=np.int64)
         ref = ray.put((keys, gstart))
 
         def attach(b: pa.Table) -> pa.Table:
             k, g = ray.get(ref)
-            pos = pc.index_in(b[key_col], value_set=k)
+            pos = pc.index_in(_composite_key(b[group_col], b[key_col]), value_set=k)
             if pos.null_count:
-                raise ValueError("pack_concat: key missing from doc index")
+                raise ValueError("pack_concat: (group, key) missing from doc index")
             pos_np = pos.to_numpy(zero_copy_only=False).astype(np.int64)
             return b.append_column(
                 "__gstart", pa.array(g[pos_np])
@@ -234,6 +276,8 @@ def pack_concat(
         # distributed prefix sum over the doc index via the engine's own
         # bucket-windowed machinery (key_col must be integer/timestamp
         # ordered on this path), then a bucketed hash join attaches offsets
+        # keyed on the (group, key) composite so a key reused across groups
+        # matches only its own group's offset row
         widx = windowize(
             index,
             prefix_sum_cols=["n_tok"],
@@ -241,23 +285,30 @@ def pack_concat(
             by=group_col,
             ts_col=key_col,
             n_buckets=n_buckets,
-        ).select_columns([key_col, "cum_n_tok", "n_tok"])
+        ).select_columns([group_col, key_col, "cum_n_tok", "n_tok"])
         gs = widx.map_batches(
             lambda b: pa.table(
                 {
-                    key_col: b[key_col],
+                    "__gk": _composite_key(b[group_col], b[key_col]),
                     "__gstart": pc.subtract(b["cum_n_tok"], pc.cast(b["n_tok"], pa.int64())),
                 }
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        left = ds.map_batches(
+            lambda b: b.append_column(
+                "__gk", _composite_key(b[group_col], b[key_col])
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         attached = hash_equi_join(
-            ds, gs, left_on=key_col, right_on=key_col,
+            left, gs, left_on="__gk", right_on="__gk",
             right_cols=["__gstart"], n_buckets=n_buckets,
         )
     else:
-        raise ValueError(f"offsets_via must be broadcast|shuffle, got {offsets_via!r}")
+        raise ValueError(f"offsets_via must be auto|broadcast|shuffle, got {offsets_via!r}")
 
     C = int(context_len)
 
@@ -334,10 +385,19 @@ def pack_concat(
         tsum = g["tok_sum"].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.lexsort((ordk, pack, codes))
         codes, pack, ntok, tsum = codes[order], pack[order], ntok[order], tsum[order]
+        ordk = ordk[order].astype(np.int64)
         key_change = np.empty(len(codes), dtype=bool)
         if len(codes):
             key_change[0] = True
             key_change[1:] = (codes[1:] != codes[:-1]) | (pack[1:] != pack[:-1])
+            # partial spans must tile each pack exactly; an overlap means a
+            # duplicate (group, key) row slipped past the offset attach
+            contig = ordk[1:] == ordk[:-1] + ntok[:-1].astype(np.int64)
+            if not (key_change[1:] | contig).all():
+                raise ValueError(
+                    "pack_concat: overlapping partial spans in a merge bucket "
+                    "— duplicate (group, key) rows in the input?"
+                )
         seg_id = np.cumsum(key_change) - 1
         n_out = int(seg_id[-1]) + 1 if len(seg_id) else 0
         out_ntok = np.bincount(seg_id, weights=ntok, minlength=n_out).astype(np.int64)
@@ -366,6 +426,12 @@ def pack_concat(
             per_seg = np.bincount(seg_id, weights=ln, minlength=n_out).astype(np.int64)
             no = np.zeros(n_out + 1, dtype=np.int64)
             np.cumsum(per_seg, out=no[1:])
+            if no[-1] > np.iinfo(np.int32).max:
+                raise ValueError(
+                    f"pack_concat: merge bucket holds {int(no[-1])} token "
+                    "values, exceeding int32 list offsets — raise n_buckets "
+                    "(each bucket is limited to ~2.1e9 tokens)"
+                )
             cols[tokens_col] = pa.ListArray.from_arrays(
                 pa.array(no, type=pa.int32()),
                 pa.array(vals, type=toks.flatten().type),
@@ -502,7 +568,7 @@ def filter_tokens(
     remove,
     vocab: int | None = None,
     tokens_col: str = "tokens",
-    concurrency=(2, 8),
+    concurrency=(1, 8),
 ) -> Dataset:
     """Drop the ids in ``remove`` from every token list (stop-token /
     special-token scrub). The removal set is broadcast once as a boolean

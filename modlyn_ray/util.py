@@ -86,3 +86,16 @@ def pool_size(requested: int) -> int:
     except Exception:
         avail = 4
     return max(1, min(requested, max(1, avail - 2)))
+
+
+def pool_bounds(requested) -> tuple[int, int]:
+    """``(1, pool_size(requested))`` autoscaling tuple for actor-pool
+    ``map_batches`` stages: the pool scales down to one actor on tiny
+    inputs (silencing Ray's min-concurrency warning and never deadlocking
+    a small session) while capping at the CPU-clamped maximum.  A caller
+    that already holds ``(min, max)`` bounds gets its max re-clamped and
+    its min floored at 1."""
+    if isinstance(requested, tuple):
+        lo, hi = requested
+        return (max(1, min(int(lo), pool_size(int(hi)))), pool_size(int(hi)))
+    return (1, pool_size(requested))

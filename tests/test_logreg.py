@@ -122,7 +122,7 @@ def test_predict_and_metrics():
     cfg = LogRegConfig(vocab=profile.vocab, batch_size=256, max_steps=50)
     ds = rd.read_parquet(f"{d}/sequences")
     model = fit_logreg(ds, cfg)
-    scored = predict(ds, model, concurrency=2)
+    scored = predict(ds, model, concurrency=(1, 2))
     cm = confusion_matrix(scored, model.classes)
     assert cm.sum() == profile.n_rows
     m = classification_metrics(cm, model.classes)

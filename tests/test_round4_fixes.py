@@ -144,7 +144,7 @@ def test_broadcast_inner_join_matches_hash_join(ray_session):
     )
     lds, rds = rd.from_arrow(left), rd.from_arrow(right)
     a = (
-        broadcast_inner_join(lds, rds, "k", "rk", ["rv"], concurrency=2)
+        broadcast_inner_join(lds, rds, "k", "rk", ["rv"], concurrency=(1, 2))
         .to_pandas()
         .sort_values(["lv", "rv"], ignore_index=True)
     )
@@ -223,7 +223,7 @@ def test_hash_sample_drops_null_keys(ray_session):
     from modlyn_ray.stages.sampling import hash_sample
 
     tbl = pa.table({"k": pa.array(["a", None, "b", None, "c", "d"] * 50)})
-    kept = hash_sample(rd.from_arrow(tbl), "k", 1.0, concurrency=2).to_pandas()
+    kept = hash_sample(rd.from_arrow(tbl), "k", 1.0, concurrency=(1, 2)).to_pandas()
     # rate 1.0 keeps every NON-NULL row; nulls drop (md5(NULL) IS NULL)
     assert len(kept) == 200
     assert kept["k"].notna().all()
@@ -232,7 +232,7 @@ def test_hash_sample_drops_null_keys(ray_session):
     tbl2 = pa.table(
         {"k": pa.array([f"key{i}" if i % 3 else None for i in range(3000)])}
     )
-    lo = hash_sample(rd.from_arrow(tbl2), "k", 0.2, concurrency=2).to_pandas()
+    lo = hash_sample(rd.from_arrow(tbl2), "k", 0.2, concurrency=(1, 2)).to_pandas()
     assert 0 < len(lo) < 1500
     assert lo["k"].notna().all()
 
@@ -247,7 +247,7 @@ def test_stratified_sample_null_stratum_dropped(ray_session):
         }
     )
     kept = stratified_hash_sample(
-        rd.from_arrow(tbl), "k", "s", {"hi": 1.0, "lo": 1.0}, concurrency=2
+        rd.from_arrow(tbl), "k", "s", {"hi": 1.0, "lo": 1.0}, concurrency=(1, 2)
     ).to_pandas()
     assert len(kept) == 200
     assert kept["s"].notna().all()
@@ -322,7 +322,7 @@ def test_embed_text_matches_scalar_reference(ray_session):
     ]
     tbl = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
     out = (
-        embed_text(rd.from_arrow(tbl), dim=16, concurrency=2)
+        embed_text(rd.from_arrow(tbl), dim=16, concurrency=(1, 2))
         .to_pandas()
         .sort_values("doc_id")
     )

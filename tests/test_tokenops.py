@@ -95,13 +95,13 @@ def test_remap_tokens_matches_numpy_and_raises(ray_session):
     rng = np.random.default_rng(13)
     df, tbl = _mk_seqs(rng, n_rows=60, vocab=500)
     table = rng.permutation(500).astype(np.int32)
-    got = remap_tokens(rd.from_arrow(tbl), table, concurrency=2).to_pandas()
+    got = remap_tokens(rd.from_arrow(tbl), table, concurrency=(1, 2)).to_pandas()
     got = got.set_index("doc_id")
     for _, r in df.iterrows():
         want = table[np.asarray(r["tokens"], dtype=np.int64)].tolist()
         assert list(got.loc[r["doc_id"], "tokens"]) == want
 
-    bad = remap_tokens(rd.from_arrow(tbl), table[:100], concurrency=2)
+    bad = remap_tokens(rd.from_arrow(tbl), table[:100], concurrency=(1, 2))
     with pytest.raises(Exception, match="out of range"):
         bad.to_pandas()
 
@@ -189,7 +189,7 @@ def test_filter_tokens_matches_reference(ray_session):
     df, tbl = _mk_seqs(rng, n_rows=120, vocab=300)
     remove = set(rng.choice(300, 40, replace=False).tolist())
     got = filter_tokens(
-        rd.from_arrow(tbl), remove, vocab=300, concurrency=2
+        rd.from_arrow(tbl), remove, vocab=300, concurrency=(1, 2)
     ).to_pandas().set_index("doc_id")
     for _, r in df.iterrows():
         want = [t for t in r["tokens"] if t not in remove]
@@ -241,7 +241,7 @@ def test_hash_split_deterministic_and_matches_sql(ray_session):
     df = pd.DataFrame({"k": [f"key{i}" for i in range(2000)],
                        "v": rng.integers(0, 100, 2000)})
     fr = {"train": 0.8, "val": 0.1, "test": 0.1}
-    got = hash_split(rd.from_pandas(df), "k", fr, concurrency=2).to_pandas()
+    got = hash_split(rd.from_pandas(df), "k", fr, concurrency=(1, 2)).to_pandas()
     t1 = int(0.8 * 65536); t2 = t1 + int(0.1 * 65536); t3 = t2 + int(0.1 * 65536)
     con = duckdb.connect(); con.register("t", df)
     want = con.execute(f"""
@@ -253,7 +253,7 @@ def test_hash_split_deterministic_and_matches_sql(ray_session):
     m = got.merge(want, on="k", suffixes=("_got", "_sql"))
     assert (m["split_got"] == m["split_sql"]).all()
     # same key -> same split under any partitioning
-    again = hash_split(rd.from_pandas(df).repartition(11), "k", fr, concurrency=2).to_pandas()
+    again = hash_split(rd.from_pandas(df).repartition(11), "k", fr, concurrency=(1, 2)).to_pandas()
     m2 = got.merge(again, on="k", suffixes=("_a", "_b"))
     assert (m2["split_a"] == m2["split_b"]).all()
 
@@ -283,3 +283,100 @@ def test_pack_concat_rejects_duplicate_keys(ray_session):
     )
     with pytest.raises(Exception, match="must be unique"):
         pack_concat(rd.from_arrow(tbl), 4, n_buckets=2).to_pandas()
+
+
+def test_pack_concat_auto_routes_shuffle_above_threshold(ray_session):
+    """offsets_via='auto' must pick the distributed shuffle attach once the
+    doc count exceeds broadcast_max_docs (no driver-resident index), and the
+    routed result must equal the broadcast path's."""
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    rng = np.random.default_rng(17)
+    df, tbl = _mk_seqs(rng, n_rows=120, int_keys=True)
+    C = 25
+
+    def norm(p):
+        return (
+            p.drop(columns=["tokens"], errors="ignore")
+            .sort_values(["source", "pack_no"])
+            .reset_index(drop=True)
+        )
+
+    base = norm(
+        pack_concat(
+            rd.from_arrow(tbl), C, n_buckets=8, offsets_via="broadcast",
+            emit_tokens=False,
+        ).to_pandas()
+    )
+    auto = norm(
+        pack_concat(
+            rd.from_arrow(tbl), C, n_buckets=8, broadcast_max_docs=10,
+            emit_tokens=False,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(base, auto)
+
+
+def test_pack_concat_auto_rejects_string_keys_above_threshold(ray_session):
+    """auto must not silently fall back to a driver-sized broadcast when the
+    count demands shuffle but the key type can't ride windowize."""
+    import pytest
+
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    rng = np.random.default_rng(18)
+    _, tbl = _mk_seqs(rng, n_rows=40, int_keys=False)
+    with pytest.raises(ValueError, match="integer/timestamp"):
+        pack_concat(rd.from_arrow(tbl), 16, n_buckets=4, broadcast_max_docs=10)
+
+
+def test_pack_concat_key_reused_across_groups_ok_both_paths(ray_session):
+    """The offset attach is keyed on (group, key): the same key value in two
+    different groups must NOT cross-match (the round-4 shuffle path joined on
+    key alone and silently duplicated rows)."""
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 1, 2], pa.int64()),
+            "source": pa.array(["g1", "g1", "g2", "g2"]),
+            "tokens": pa.array([[1, 2, 3], [4, 5], [6], [7, 8, 9, 10]], pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 2, 1, 4], pa.int32()),
+        }
+    )
+    want = {
+        ("g1", 0): (4, 1 + 2 + 3 + 4, (1, 2, 3, 4)),
+        ("g1", 1): (1, 5, (5,)),
+        ("g2", 0): (4, 6 + 7 + 8 + 9, (6, 7, 8, 9)),
+        ("g2", 1): (1, 10, (10,)),
+    }
+    for via in ("broadcast", "shuffle"):
+        got = pack_concat(
+            rd.from_arrow(tbl), 4, n_buckets=3, offsets_via=via
+        ).to_pandas()
+        assert len(got) == len(want), via
+        for r in got.itertuples():
+            n, s, w = want[(r.source, r.pack_no)]
+            assert (r.n_tok, r.tok_sum, tuple(r.tokens)) == (n, s, w), via
+
+
+def test_pack_concat_shuffle_path_rejects_duplicate_keys(ray_session):
+    """A duplicate (group, key) pair reaching the shuffle attach produces
+    overlapping partial spans; the merge exchange must raise, not emit
+    corrupt packs."""
+    import pytest
+
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2], pa.int64()),
+            "source": pa.array(["s", "s", "s"]),
+            "tokens": pa.array([[1, 2], [3], [4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1, 1], pa.int32()),
+        }
+    )
+    with pytest.raises(Exception, match="overlapping|must be unique"):
+        pack_concat(
+            rd.from_arrow(tbl), 4, n_buckets=2, offsets_via="shuffle"
+        ).to_pandas()
