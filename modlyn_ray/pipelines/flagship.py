@@ -25,9 +25,8 @@ from ray.data import Dataset
 from modlyn_ray.stages.temporal import detect_heavy_keys, windowize
 
 
-def add_row_mix(batch: pa.Table) -> pa.Table:
+def row_mix_values(toks: pa.ListArray | pa.ChunkedArray) -> np.ndarray:
     """Per-row order-insensitive token mix (int64) — prefix-summable."""
-    toks = batch["tokens"]
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -36,8 +35,113 @@ def add_row_mix(batch: pa.Table) -> pa.Table:
     mixed = (flat * np.uint64(2654435761)) % np.uint64(1 << 31)
     pad = np.zeros(len(mixed) + 1, dtype=np.uint64)
     np.cumsum(mixed, out=pad[1:])
-    row = (pad[offs[1:]] - pad[offs[:-1]]).astype(np.int64)
-    return batch.append_column("row_mix", pa.array(row))
+    return (pad[offs[1:]] - pad[offs[:-1]]).astype(np.int64)
+
+
+def add_row_mix(batch: pa.Table) -> pa.Table:
+    return batch.append_column("row_mix", pa.array(row_mix_values(batch["tokens"])))
+
+
+# ---------------------------------------------------------------------------
+# Compact exchange encoding
+#
+# Every int64-wide column that rides the fused bucket shuffle is split into
+#   * a HIGH-32 word, per-block dictionary-encoded with int16 indices —
+#     high words are low-cardinality inside a block for every column shipped
+#     this way (timestamps cluster in time: one distinct high word per
+#     ~71.6 min of block span; seq_no high words change every 2^32 rows;
+#     row_mix is bounded by max_len * 2^31; float64 attr bits share
+#     sign+exponent words) — ~2 B/row + a tiny per-block dictionary;
+#   * a LOW-32 word shipped as a plain int32 — 4 B/row.
+# Reconstruction is byte-exact: v == (hi << 32) | uint32(lo), validity
+# preserved via the null mask on both halves. Decoding walks the reduce-side
+# chunks individually so dictionaries are NEVER unified (no int16 index
+# overflow regardless of how many map blocks land in one bucket).
+#
+# Measured on the 2M-row BENCH corpus this cuts the token-free exchange
+# payload from ~41 B/row to ~29 B/row (see BASELINE.md round-5 A/B).
+# ---------------------------------------------------------------------------
+
+_HI_LIMIT = 32767  # int16 dictionary-index capacity per block
+
+
+def _pack_hi_lo(vals: np.ndarray, mask, what: str):
+    """int64 numpy -> (dict<int16 -> int64> high word, int32 low word)."""
+    hi = vals >> np.int64(32)
+    lo = (vals & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    uniq, inv = np.unique(hi, return_inverse=True)
+    if len(uniq) > _HI_LIMIT:
+        raise ValueError(
+            f"compact exchange: column {what!r} has {len(uniq)} distinct "
+            f"high-32 words in one block (> {_HI_LIMIT}; e.g. a single block "
+            "spanning > ~4.4 years of microsecond timestamps). Pass "
+            "compact_exchange=False or use smaller input blocks."
+        )
+    hi_arr = pa.DictionaryArray.from_arrays(
+        pa.array(inv.astype(np.int16), mask=mask),
+        pa.array(uniq, type=pa.int64()),
+    )
+    return hi_arr, pa.array(lo, mask=mask)
+
+
+def _unpack_hi_lo(col_hi, col_lo) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`_pack_hi_lo` -> (int64 values, null mask).
+
+    Decodes chunk by chunk: reduce-side groups concatenate many map blocks,
+    each with its own tiny dictionary; per-chunk decode means those
+    dictionaries are never unified, so the int16 index width can never
+    overflow no matter the bucket size.
+    """
+    if isinstance(col_lo, pa.ChunkedArray):
+        col_lo = col_lo.combine_chunks()
+    lo = (
+        col_lo.fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int32)
+        .view(np.uint32)
+        .astype(np.int64)
+    )
+    chunks = col_hi.chunks if isinstance(col_hi, pa.ChunkedArray) else [col_hi]
+    his, masks = [], []
+    for ch in chunks:
+        d = ch.dictionary.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = ch.indices
+        masks.append(idx.is_null().to_numpy(zero_copy_only=False))
+        iv = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        his.append(d[iv] if len(d) else np.zeros(len(iv), dtype=np.int64))
+    hi = np.concatenate(his) if his else np.empty(0, dtype=np.int64)
+    mask = np.concatenate(masks) if masks else np.empty(0, dtype=bool)
+    return (hi << np.int64(32)) | lo, mask
+
+
+def _dict16(col, what: str):
+    """String column -> dictionary<int16, string> (per-block dictionary)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dic = col if pa.types.is_dictionary(col.type) else col.dictionary_encode()
+    if len(dic.dictionary) > _HI_LIMIT:
+        raise ValueError(
+            f"compact exchange: column {what!r} has {len(dic.dictionary)} "
+            f"distinct values in one block (> {_HI_LIMIT}); pass "
+            "compact_exchange=False."
+        )
+    return pa.DictionaryArray.from_arrays(dic.indices.cast(pa.int16()), dic.dictionary)
+
+
+def _null_dict16(n: int, value_type) -> pa.DictionaryArray:
+    """All-null dictionary<int16, value_type> column of length n."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int16), mask=np.ones(n, dtype=bool)),
+        pa.array([], type=value_type),
+    )
+
+
+def _i64_np(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def pit_features(
@@ -49,6 +153,7 @@ def pit_features(
     validate: bool = False,
     narrow_tokens: bool = False,
     emit_tokens: bool = True,
+    compact_exchange: bool = True,
 ) -> Dataset:
     """sequences (+ optional doc_attrs) -> point-in-time feature Dataset.
 
@@ -62,19 +167,28 @@ def pit_features(
     corpus profiles) and widens back to ``list<int32>`` after the bucket
     kernel — byte-identical values, ~half the bytes of the dominant
     shuffle column. The cast is ``safe``: an out-of-range token raises
-    instead of corrupting. ``row_mix`` is likewise no longer shipped at
-    all — it is a pure function of ``tokens`` and is recomputed inside
-    the bucket task, saving 8 B/row of exchange payload.
+    instead of corrupting.
 
     ``emit_tokens=False`` removes the ``tokens`` column from the OUTPUT
     entirely — for feature-store consumers that keep tokens in the source
     table and only need the derived features. The token lists then never
-    ride the exchange at all: ``row_mix`` (8 B/row) is computed BEFORE the
-    shuffle and shipped in their place, cutting the dominant remaining
-    payload column (~25 B/row avg on the synthetic profiles, more on real
-    text). All emitted feature columns are byte-identical to the
-    ``emit_tokens=True`` path; the byte-identity contract on ``tokens``
-    itself applies only when tokens are emitted.
+    ride the exchange at all: ``row_mix`` (a pure function of ``tokens``)
+    is computed BEFORE the shuffle and shipped in their place. All emitted
+    feature columns are byte-identical to the ``emit_tokens=True`` path;
+    the byte-identity contract on ``tokens`` itself applies only when
+    tokens are emitted. With tokens emitted, ``row_mix`` is never shipped:
+    it is recomputed inside the bucket task.
+
+    ``compact_exchange=True`` (default) applies the hi/lo split encoding
+    (module comment above) to every int64-wide exchange column
+    (``ingest_ts``, the fused ``seq_no``/``attr_val``-bits slot, and
+    ``row_mix`` when shipped), narrows ``n_tok`` to int16 and ``source``
+    to int16 dictionary indices, and drops the explicit side tag (an attr
+    row is identified by its null ``n_tok``). All outputs are byte-
+    identical to ``compact_exchange=False`` (tests/test_round5_fixes.py);
+    bounds violations (a block spanning > ~4.4 years, n_tok > 32767,
+    > 32767 distinct sources per block) raise loudly instead of
+    corrupting. ~29 B/row token-free exchange payload vs ~41 B/row legacy.
     """
     from modlyn_ray.stages.temporal import (
         DEFAULT_SESSION_GAP_US,
@@ -126,10 +240,138 @@ def pit_features(
 
     DICT = pa.dictionary(pa.int32(), pa.string())
     tok_type = pa.list_(pa.int16()) if narrow_tokens else pa.list_(pa.int32())
+    vtypes = {"attr_val": pa.float64()}
+
+    from modlyn_ray.util import dict_decode_batch as _dict_decode
+    from modlyn_ray.util import dict_encode_batch as _dict_encode
+
+    if compact_exchange:
+        # column order shared by both sides (union requires equal schemas)
+        names = ["doc_id"]
+        names += ["tokens"] if emit_tokens else ["__rm_hi", "__rm_lo"]
+        names += ["n_tok", "source", "__ts_hi", "__ts_lo", "__sa_hi", "__sa_lo"]
+
+        def pad_seq(b: pa.Table) -> pa.Table:
+            ts_hi, ts_lo = _pack_hi_lo(_i64_np(b["ingest_ts"]), None, "ingest_ts")
+            sa_hi, sa_lo = _pack_hi_lo(_i64_np(b["seq_no"]), None, "seq_no")
+            cols = {
+                "doc_id": _dict_encode(
+                    pa.table({"doc_id": b["doc_id"]}), ("doc_id",)
+                )["doc_id"],
+                "n_tok": pc.cast(b["n_tok"], pa.int16()),
+                "source": _dict16(b["source"], "source"),
+                "__ts_hi": ts_hi,
+                "__ts_lo": ts_lo,
+                "__sa_hi": sa_hi,
+                "__sa_lo": sa_lo,
+            }
+            if emit_tokens:
+                toks = b["tokens"]
+                if narrow_tokens:
+                    toks = pc.cast(toks, tok_type)
+                cols["tokens"] = toks
+            else:
+                cols["__rm_hi"], cols["__rm_lo"] = _pack_hi_lo(
+                    row_mix_values(b["tokens"]), None, "row_mix"
+                )
+            return pa.table({n: cols[n] for n in names})
+
+        def pad_attr(b: pa.Table) -> pa.Table:
+            n = len(b)
+            attr = b["attr_val"]
+            if isinstance(attr, pa.ChunkedArray):
+                attr = attr.combine_chunks()
+            null_mask = attr.is_null().to_numpy(zero_copy_only=False)
+            bits = attr.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int64)
+            ts_hi, ts_lo = _pack_hi_lo(_i64_np(b["ingest_ts"]), None, "ingest_ts")
+            sa_hi, sa_lo = _pack_hi_lo(bits, null_mask, "attr_val")
+            cols = {
+                "doc_id": _dict_encode(
+                    pa.table({"doc_id": b["doc_id"]}), ("doc_id",)
+                )["doc_id"],
+                # null n_tok IS the side tag: sequence rows always carry one
+                "n_tok": pa.nulls(n, pa.int16()),
+                "source": _null_dict16(n, pa.string()),
+                "__ts_hi": ts_hi,
+                "__ts_lo": ts_lo,
+                "__sa_hi": sa_hi,
+                "__sa_lo": sa_lo,
+            }
+            if emit_tokens:
+                cols["tokens"] = pa.nulls(n, tok_type)
+            else:
+                cols["__rm_hi"] = _null_dict16(n, pa.int64())
+                cols["__rm_lo"] = pa.nulls(n, pa.int32())
+            return pa.table({n_: cols[n_] for n_ in names})
+
+        s_aug = sequences.map_batches(
+            pad_seq, batch_format="pyarrow", zero_copy_batch=True
+        )
+        # batch_size bounds the attr side's per-block distinct float64
+        # high words far below the int16 dictionary capacity; the attrs
+        # table is the small side so small blocks cost nothing
+        a_aug = doc_attrs.select_columns(["doc_id", "ingest_ts", "attr_val"]).map_batches(
+            pad_attr, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+        )
+        both = add_bucket_column(
+            s_aug.union(a_aug), key="doc_id", n_buckets=n_buckets, heavy=heavy
+        )
+
+        def per_bucket(group: pa.Table) -> pa.Table:
+            ntk = group["n_tok"]
+            if isinstance(ntk, pa.ChunkedArray):
+                ntk = ntk.combine_chunks()
+            is_attr = ntk.is_null().to_numpy(zero_copy_only=False)
+            seq_part = group.filter(pa.array(~is_attr))
+            attr_part = group.filter(pa.array(is_attr))
+
+            seq_part = _dict_decode(seq_part, ("doc_id", "source"))
+            ts_vals, _ = _unpack_hi_lo(seq_part["__ts_hi"], seq_part["__ts_lo"])
+            sn_vals, _ = _unpack_hi_lo(seq_part["__sa_hi"], seq_part["__sa_lo"])
+            lcols = {
+                "doc_id": seq_part["doc_id"],
+                "n_tok": pc.cast(seq_part["n_tok"], pa.int32()),
+                "source": seq_part["source"],
+                "ingest_ts": pa.array(ts_vals).cast(pa.timestamp("us")),
+                "seq_no": pa.array(sn_vals),
+            }
+            if emit_tokens:
+                lcols["tokens"] = seq_part["tokens"]
+                ltbl = pa.table(lcols)
+                # row_mix never rides the exchange: recomputed from tokens
+                ltbl = add_row_mix(ltbl)
+            else:
+                rm_vals, _ = _unpack_hi_lo(seq_part["__rm_hi"], seq_part["__rm_lo"])
+                lcols["row_mix"] = pa.array(rm_vals)
+                ltbl = pa.table(lcols)
+
+            a_ts, _ = _unpack_hi_lo(attr_part["__ts_hi"], attr_part["__ts_lo"])
+            a_bits, a_mask = _unpack_hi_lo(attr_part["__sa_hi"], attr_part["__sa_lo"])
+            rtbl = pa.table(
+                {
+                    "doc_id": pc.cast(attr_part["doc_id"], pa.string()),
+                    "ingest_ts": pa.array(a_ts).cast(pa.timestamp("us")),
+                    "attr_val": pa.array(a_bits.view(np.float64), mask=a_mask),
+                }
+            )
+            w = window_kernel(ltbl, **window_args)
+            out = asof_kernel(
+                w, rtbl, by="doc_id", ts_col="ingest_ts", value_cols=["attr_val"],
+                vtypes=vtypes, suffix="_asof", strict=False,
+            )
+            if emit_tokens and narrow_tokens:
+                i = out.schema.get_field_index("tokens")
+                out = out.set_column(
+                    i, "tokens", pc.cast(out["tokens"], pa.list_(pa.int32()))
+                )
+            return out
+
+        return both.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+    # ---- legacy (pre-round-5) exchange encoding, kept for same-window A/B —
     # __sa fuses the two side-exclusive int64-wide columns into ONE shuffle
     # slot: sequence rows carry seq_no, attr rows carry attr_val's float64
-    # BITS (bitcast, validity preserved) — 8 B/row less exchange payload
-    # than shipping seq_no plus a mostly-null attr_val buffer.
+    # BITS (bitcast, validity preserved).
     seq_schema = [
         ("doc_id", DICT),
         *([("tokens", tok_type)] if emit_tokens else [("row_mix", pa.int64())]),
@@ -138,19 +380,12 @@ def pit_features(
         ("ingest_ts", pa.timestamp("us")),
         ("__sa", pa.int64()),
     ]
-    vtypes = {"attr_val": pa.float64()}
-
-    from modlyn_ray.util import dict_decode_batch as _dict_decode
-    from modlyn_ray.util import dict_encode_batch as _dict_encode
 
     def pad_seq(b: pa.Table) -> pa.Table:
         b = b.rename_columns(
             ["__sa" if c == "seq_no" else c for c in b.column_names]
         )
         if not emit_tokens:
-            # row_mix rides the exchange (8 B/row) INSTEAD of the token
-            # lists — computed pre-shuffle, tokens never leave the read
-            # stage; select() also pins the union column order to seq_schema
             b = add_row_mix(b).drop_columns(["tokens"]).select(
                 [name for name, _ in seq_schema]
             )

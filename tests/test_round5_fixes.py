@@ -1,0 +1,119 @@
+"""Round-5 regressions: the compact (hi/lo split) exchange encoding on the
+fused PIT shuffle must be byte-identical to the legacy encoding, exact on
+adversarial bit patterns, and loud on every documented bound."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from modlyn_ray.pipelines.flagship import (
+    _pack_hi_lo,
+    _unpack_hi_lo,
+    pit_features,
+    row_mix_values,
+)
+
+
+def _sorted_pdf(ds):
+    df = ds.to_pandas()
+    key = ["doc_id", "ingest_ts", "seq_no"]
+    return df.sort_values(key).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "emit_tokens,narrow_tokens",
+    [(True, True), (True, False), (False, False)],
+)
+def test_compact_exchange_byte_identical(ray_session, emit_tokens, narrow_tokens):
+    import ray.data as rd
+
+    from modlyn_ray import synth
+
+    p = synth.PROFILES["small"]
+    seqs, attrs = synth.make_sequences(p), synth.make_doc_attrs(p)
+    kw = dict(n_buckets=8, emit_tokens=emit_tokens, narrow_tokens=narrow_tokens)
+    a = _sorted_pdf(
+        pit_features(rd.from_arrow(seqs), rd.from_arrow(attrs), compact_exchange=True, **kw)
+    )
+    b = _sorted_pdf(
+        pit_features(rd.from_arrow(seqs), rd.from_arrow(attrs), compact_exchange=False, **kw)
+    )
+    assert sorted(a.columns) == sorted(b.columns)
+    b = b[a.columns]
+    for c in a.columns:
+        if a[c].dtype == object:
+            assert all(
+                np.array_equal(x, y) for x, y in zip(a[c].to_numpy(), b[c].to_numpy())
+            ), c
+        else:
+            assert a[c].equals(b[c]), c
+
+
+def test_pack_hi_lo_roundtrip_adversarial_bits():
+    rng = np.random.default_rng(0)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**62), 2**62, size=1000),
+            np.array(
+                [0, -1, 1, 2**31, -(2**31), 2**32, -(2**32), 2**63 - 1, -(2**63)],
+                dtype=np.int64,
+            ),
+            # float64 bit patterns (the attr_val slot): negatives, subnormals
+            rng.standard_normal(500).view(np.int64),
+        ]
+    ).astype(np.int64)
+    mask = rng.random(len(vals)) < 0.1
+    hi, lo = _pack_hi_lo(vals, mask, "t")
+    out, out_mask = _unpack_hi_lo(hi, lo)
+    np.testing.assert_array_equal(out_mask, mask)
+    np.testing.assert_array_equal(out[~mask], vals[~mask])
+
+
+def test_pack_hi_lo_chunked_decode_never_unifies():
+    # two chunks with disjoint dictionaries decode independently
+    a = np.array([1 << 32, 2 << 32], dtype=np.int64)
+    b = np.array([3 << 32, (4 << 32) + 7], dtype=np.int64)
+    ha, la = _pack_hi_lo(a, None, "t")
+    hb, lb = _pack_hi_lo(b, None, "t")
+    hi = pa.chunked_array([ha, hb])
+    lo = pa.chunked_array([la, lb])
+    out, mask = _unpack_hi_lo(hi, lo)
+    np.testing.assert_array_equal(out, np.concatenate([a, b]))
+    assert not mask.any()
+
+
+def test_pack_hi_lo_raises_on_hi_cardinality():
+    vals = (np.arange(40000, dtype=np.int64) << 32)
+    with pytest.raises(ValueError, match="distinct high-32 words"):
+        _pack_hi_lo(vals, None, "ingest_ts")
+
+
+def test_compact_exchange_preserves_null_attr_val(ray_session):
+    import ray.data as rd
+
+    seqs = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d1", "d2"]),
+            "tokens": pa.array([[1, 2], [3], [4, 5, 6]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1, 3], type=pa.int32()),
+            "source": pa.array(["s", "s", "s"]),
+            "ingest_ts": pa.array([100, 200, 150], type=pa.timestamp("us")),
+            "seq_no": pa.array([0, 1, 2], type=pa.int64()),
+        }
+    )
+    attrs = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d2"]),
+            "ingest_ts": pa.array([50, 60], type=pa.timestamp("us")),
+            "attr_val": pa.array([None, -2.5], type=pa.float64()),
+        }
+    )
+    out = _sorted_pdf(
+        pit_features(rd.from_arrow(seqs), rd.from_arrow(attrs), n_buckets=4)
+    )
+    by_doc = dict(zip(out["doc_id"], out["attr_val_asof"]))
+    assert np.isnan(by_doc["d1"])  # null attr round-trips as null, not 0.0
+    assert by_doc["d2"] == -2.5
+    # token passthrough stays byte-identical
+    assert [list(t) for t in out["tokens"]] == [[1, 2], [3], [4, 5, 6]]
+    assert row_mix_values(pa.array([[1, 2]], type=pa.list_(pa.int32()))).dtype == np.int64
