@@ -45,37 +45,44 @@ def add_row_mix(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # Compact exchange encoding
 #
-# Every int64-wide column that rides the fused bucket shuffle is split into
-#   * a HIGH-32 word, per-block dictionary-encoded with int16 indices —
-#     high words are low-cardinality inside a block for every column shipped
-#     this way (timestamps cluster in time: one distinct high word per
-#     ~71.6 min of block span; seq_no high words change every 2^32 rows;
-#     row_mix is bounded by max_len * 2^31; float64 attr bits share
-#     sign+exponent words) — ~2 B/row + a tiny per-block dictionary;
-#   * a LOW-32 word shipped as a plain int32 — 4 B/row.
-# Reconstruction is byte-exact: v == (hi << 32) | uint32(lo), validity
-# preserved via the null mask on both halves. Decoding walks the reduce-side
-# chunks individually so dictionaries are NEVER unified (no int16 index
-# overflow regardless of how many map blocks land in one bucket).
-#
-# Measured on the 2M-row BENCH corpus this cuts the token-free exchange
-# payload from ~41 B/row to ~29 B/row (see BASELINE.md round-5 A/B).
+# The shuffle payload is narrowed wherever it is STATICALLY safe — i.e.
+# where no property of the data can break it at any scale:
+#   * row_mix (token-free variant) splits into a dictionary<int16, int64>
+#     HIGH-32 word + plain int32 LOW word: its high word has at most
+#     max_n_tok/2 <= 16384 distinct VALUES by construction (row_mix <
+#     n_tok * 2^31), so dictionary unification can never overflow the
+#     int16 indices. Reconstruction is byte-exact: v == (hi<<32)|u32(lo).
+#   * n_tok ships as int16 (safe cast — raises loudly past 32767 tokens).
+#   * source ships as dictionary<int16, string> (loud past 32767 sources).
+#   * the explicit side tag is dropped: an attr row IS a null n_tok.
+# ingest_ts and the fused seq_no/attr-bits slot stay 64-bit on purpose:
+# their high words are NOT low-cardinality in general (a skewed doc's
+# timeline spans years -> ~50k distinct timestamp high words on the 32M
+# synthetic corpus; float64 attr bits are near-distinct per value), and
+# Ray's sort shuffle unifies chunk dictionaries per map block before
+# partitioning — an int16-indexed dictionary there overflows exactly at
+# the scale this engine targets (found by the first round-5 scale32
+# sweep, which crashed on it).
 # ---------------------------------------------------------------------------
 
-_HI_LIMIT = 32767  # int16 dictionary-index capacity per block
+_HI_LIMIT = 32767  # int16 dictionary-index capacity
 
 
-def _pack_hi_lo(vals: np.ndarray, mask, what: str):
-    """int64 numpy -> (dict<int16 -> int64> high word, int32 low word)."""
+def _pack_hi_lo(vals: np.ndarray, mask, what: str, dict_hi: bool = True):
+    """int64 numpy -> (high-32 word, int32 low word); byte-exact split."""
     hi = vals >> np.int64(32)
     lo = (vals & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    if not dict_hi:
+        return pa.array(hi.astype(np.uint32).view(np.int32), mask=mask), pa.array(
+            lo, mask=mask
+        )
     uniq, inv = np.unique(hi, return_inverse=True)
     if len(uniq) > _HI_LIMIT:
         raise ValueError(
             f"compact exchange: column {what!r} has {len(uniq)} distinct "
-            f"high-32 words in one block (> {_HI_LIMIT}; e.g. a single block "
-            "spanning > ~4.4 years of microsecond timestamps). Pass "
-            "compact_exchange=False or use smaller input blocks."
+            f"high-32 words in one block (> {_HI_LIMIT}); only columns whose "
+            "high-word cardinality is bounded by construction may use "
+            "dict_hi=True (see module comment)."
         )
     hi_arr = pa.DictionaryArray.from_arrays(
         pa.array(inv.astype(np.int16), mask=mask),
@@ -104,11 +111,21 @@ def _unpack_hi_lo(col_hi, col_lo) -> tuple[np.ndarray, np.ndarray]:
     chunks = col_hi.chunks if isinstance(col_hi, pa.ChunkedArray) else [col_hi]
     his, masks = [], []
     for ch in chunks:
-        d = ch.dictionary.to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = ch.indices
-        masks.append(idx.is_null().to_numpy(zero_copy_only=False))
-        iv = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        his.append(d[iv] if len(d) else np.zeros(len(iv), dtype=np.int64))
+        if pa.types.is_dictionary(ch.type):
+            d = ch.dictionary.to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = ch.indices
+            masks.append(idx.is_null().to_numpy(zero_copy_only=False))
+            iv = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            his.append(d[iv] if len(d) else np.zeros(len(iv), dtype=np.int64))
+        else:
+            # plain int32 high word (the fused slot): sign-extend
+            masks.append(ch.is_null().to_numpy(zero_copy_only=False))
+            his.append(
+                ch.fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int32)
+                .astype(np.int64)
+            )
     hi = np.concatenate(his) if his else np.empty(0, dtype=np.int64)
     mask = np.concatenate(masks) if masks else np.empty(0, dtype=bool)
     return (hi << np.int64(32)) | lo, mask
@@ -179,16 +196,19 @@ def pit_features(
     tokens are emitted. With tokens emitted, ``row_mix`` is never shipped:
     it is recomputed inside the bucket task.
 
-    ``compact_exchange=True`` (default) applies the hi/lo split encoding
-    (module comment above) to every int64-wide exchange column
-    (``ingest_ts``, the fused ``seq_no``/``attr_val``-bits slot, and
-    ``row_mix`` when shipped), narrows ``n_tok`` to int16 and ``source``
-    to int16 dictionary indices, and drops the explicit side tag (an attr
-    row is identified by its null ``n_tok``). All outputs are byte-
+    ``compact_exchange=True`` (default) applies the statically-safe payload
+    cuts (module comment above): ``row_mix`` (when shipped) rides as a
+    dict<int16>-hi + int32-lo split, ``n_tok`` narrows to int16, ``source``
+    to int16 dictionary indices, and the explicit side tag is dropped (an
+    attr row is identified by its null ``n_tok``). ``ingest_ts`` and the
+    fused ``seq_no``/``attr_val``-bits slot deliberately stay 64-bit —
+    their high words are not low-cardinality in general, and Ray's sort
+    shuffle unifies chunk dictionaries per map block, which overflows
+    int16 indices at exactly the target scale. All outputs are byte-
     identical to ``compact_exchange=False`` (tests/test_round5_fixes.py);
-    bounds violations (a block spanning > ~4.4 years, n_tok > 32767,
-    > 32767 distinct sources per block) raise loudly instead of
-    corrupting. ~29 B/row token-free exchange payload vs ~41 B/row legacy.
+    bound violations (n_tok > 32767, > 32767 distinct sources per block)
+    raise loudly instead of corrupting. ~34 B/row token-free exchange
+    payload vs ~41 B/row legacy.
     """
     from modlyn_ray.stages.temporal import (
         DEFAULT_SESSION_GAP_US,
@@ -249,21 +269,17 @@ def pit_features(
         # column order shared by both sides (union requires equal schemas)
         names = ["doc_id"]
         names += ["tokens"] if emit_tokens else ["__rm_hi", "__rm_lo"]
-        names += ["n_tok", "source", "__ts_hi", "__ts_lo", "__sa_hi", "__sa_lo"]
+        names += ["n_tok", "source", "ingest_ts", "__sa"]
 
         def pad_seq(b: pa.Table) -> pa.Table:
-            ts_hi, ts_lo = _pack_hi_lo(_i64_np(b["ingest_ts"]), None, "ingest_ts")
-            sa_hi, sa_lo = _pack_hi_lo(_i64_np(b["seq_no"]), None, "seq_no")
             cols = {
                 "doc_id": _dict_encode(
                     pa.table({"doc_id": b["doc_id"]}), ("doc_id",)
                 )["doc_id"],
                 "n_tok": pc.cast(b["n_tok"], pa.int16()),
                 "source": _dict16(b["source"], "source"),
-                "__ts_hi": ts_hi,
-                "__ts_lo": ts_lo,
-                "__sa_hi": sa_hi,
-                "__sa_lo": sa_lo,
+                "ingest_ts": b["ingest_ts"],
+                "__sa": b["seq_no"],
             }
             if emit_tokens:
                 toks = b["tokens"]
@@ -283,8 +299,6 @@ def pit_features(
                 attr = attr.combine_chunks()
             null_mask = attr.is_null().to_numpy(zero_copy_only=False)
             bits = attr.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.int64)
-            ts_hi, ts_lo = _pack_hi_lo(_i64_np(b["ingest_ts"]), None, "ingest_ts")
-            sa_hi, sa_lo = _pack_hi_lo(bits, null_mask, "attr_val")
             cols = {
                 "doc_id": _dict_encode(
                     pa.table({"doc_id": b["doc_id"]}), ("doc_id",)
@@ -292,10 +306,8 @@ def pit_features(
                 # null n_tok IS the side tag: sequence rows always carry one
                 "n_tok": pa.nulls(n, pa.int16()),
                 "source": _null_dict16(n, pa.string()),
-                "__ts_hi": ts_hi,
-                "__ts_lo": ts_lo,
-                "__sa_hi": sa_hi,
-                "__sa_lo": sa_lo,
+                "ingest_ts": b["ingest_ts"],
+                "__sa": pa.array(bits, mask=null_mask),
             }
             if emit_tokens:
                 cols["tokens"] = pa.nulls(n, tok_type)
@@ -304,14 +316,15 @@ def pit_features(
                 cols["__rm_lo"] = pa.nulls(n, pa.int32())
             return pa.table({n_: cols[n_] for n_ in names})
 
+        # batch_size=None = whole-block batches: the pad kernels are pure
+        # vectorized Arrow/numpy, so fewer+larger batches cut per-batch
+        # overhead and leave ~1 chunk per column per block — the sort's
+        # map-side take/unify then touches hundreds of fewer chunks
         s_aug = sequences.map_batches(
-            pad_seq, batch_format="pyarrow", zero_copy_batch=True
+            pad_seq, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
-        # batch_size bounds the attr side's per-block distinct float64
-        # high words far below the int16 dictionary capacity; the attrs
-        # table is the small side so small blocks cost nothing
         a_aug = doc_attrs.select_columns(["doc_id", "ingest_ts", "attr_val"]).map_batches(
-            pad_attr, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+            pad_attr, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
         both = add_bucket_column(
             s_aug.union(a_aug), key="doc_id", n_buckets=n_buckets, heavy=heavy
@@ -326,14 +339,12 @@ def pit_features(
             attr_part = group.filter(pa.array(is_attr))
 
             seq_part = _dict_decode(seq_part, ("doc_id", "source"))
-            ts_vals, _ = _unpack_hi_lo(seq_part["__ts_hi"], seq_part["__ts_lo"])
-            sn_vals, _ = _unpack_hi_lo(seq_part["__sa_hi"], seq_part["__sa_lo"])
             lcols = {
                 "doc_id": seq_part["doc_id"],
                 "n_tok": pc.cast(seq_part["n_tok"], pa.int32()),
                 "source": seq_part["source"],
-                "ingest_ts": pa.array(ts_vals).cast(pa.timestamp("us")),
-                "seq_no": pa.array(sn_vals),
+                "ingest_ts": seq_part["ingest_ts"],
+                "seq_no": seq_part["__sa"],
             }
             if emit_tokens:
                 lcols["tokens"] = seq_part["tokens"]
@@ -345,12 +356,15 @@ def pit_features(
                 lcols["row_mix"] = pa.array(rm_vals)
                 ltbl = pa.table(lcols)
 
-            a_ts, _ = _unpack_hi_lo(attr_part["__ts_hi"], attr_part["__ts_lo"])
-            a_bits, a_mask = _unpack_hi_lo(attr_part["__sa_hi"], attr_part["__sa_lo"])
+            sa = attr_part["__sa"]
+            if isinstance(sa, pa.ChunkedArray):
+                sa = sa.combine_chunks()
+            a_mask = sa.is_null().to_numpy(zero_copy_only=False)
+            a_bits = sa.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
             rtbl = pa.table(
                 {
                     "doc_id": pc.cast(attr_part["doc_id"], pa.string()),
-                    "ingest_ts": pa.array(a_ts).cast(pa.timestamp("us")),
+                    "ingest_ts": attr_part["ingest_ts"],
                     "attr_val": pa.array(a_bits.view(np.float64), mask=a_mask),
                 }
             )

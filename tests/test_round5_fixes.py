@@ -63,10 +63,11 @@ def test_pack_hi_lo_roundtrip_adversarial_bits():
         ]
     ).astype(np.int64)
     mask = rng.random(len(vals)) < 0.1
-    hi, lo = _pack_hi_lo(vals, mask, "t")
-    out, out_mask = _unpack_hi_lo(hi, lo)
-    np.testing.assert_array_equal(out_mask, mask)
-    np.testing.assert_array_equal(out[~mask], vals[~mask])
+    for dict_hi in (True, False):
+        hi, lo = _pack_hi_lo(vals, mask, "t", dict_hi=dict_hi)
+        out, out_mask = _unpack_hi_lo(hi, lo)
+        np.testing.assert_array_equal(out_mask, mask)
+        np.testing.assert_array_equal(out[~mask], vals[~mask])
 
 
 def test_pack_hi_lo_chunked_decode_never_unifies():
