@@ -260,7 +260,20 @@ def count_stats(
     var, f_score: float64), one row per (class, token) with nonzero support.
     """
     if classes is None:
-        classes = sorted(ds.unique("source"))  # LabelEncoder.classes_ analog
+        # LabelEncoder.classes_ analog. Project to the source column FIRST
+        # (parquet projection pushdown: only that column leaves storage)
+        # and reduce every block to its distinct values before the global
+        # unique — Dataset.unique() alone aggregates over full-width
+        # blocks, which cost a second full-corpus scan per call here.
+        import pyarrow.compute as _pc
+
+        proj = ds.select_columns(["source"]).map_batches(
+            lambda b: pa.table({"source": _pc.unique(b["source"])}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+        classes = sorted(proj.unique("source"))
     class_lut = {c: i for i, c in enumerate(classes)}
     class_names = np.asarray(classes, dtype=object)
     k_classes = len(classes)
