@@ -284,6 +284,11 @@ def count_stats(
     class_names = np.asarray(classes, dtype=object)
     k_classes = len(classes)
 
+    # the partial kernel touches ONLY (source, tokens): project before the
+    # map so the parquet read prunes every other column (doc_id, n_tok,
+    # timestamps, attrs never leave storage — M8 pushdown on this path too)
+    ds = ds.select_columns(["source", "tokens"])
+
     partials = ds.map_batches(
         make_partial_counts(class_lut),
         batch_format="pyarrow",
