@@ -80,10 +80,24 @@ def make_partial_counts(class_lut: dict[str, int]):
         tok_of = uniq_rt % vmax
         cls_of = src_codes[row_of]
         key_ct = cls_of * vmax + tok_of
-        uniq_ct, inv = np.unique(key_ct, return_inverse=True)
-        occ = np.bincount(inv, weights=c_rt.astype(np.float64))
-        sumsq = np.bincount(inv, weights=(c_rt.astype(np.float64)) ** 2)
-        df = np.bincount(inv).astype(np.float64)
+        kspace = len(class_lut) * vmax
+        c_rt_f = c_rt.astype(np.float64)
+        if kspace <= 1 << 26:
+            # bounded (class, token) space: direct bincount — no second
+            # O(n log n) sort over the ~tokens-sized run array (the partial
+            # kernel is the stats phase's dominant cost at 32M rows)
+            occ_d = np.bincount(key_ct, weights=c_rt_f, minlength=kspace)
+            nz = np.flatnonzero(occ_d)
+            occ = occ_d[nz]
+            sumsq = np.bincount(key_ct, weights=c_rt_f**2, minlength=kspace)[nz]
+            df = np.bincount(key_ct, minlength=kspace)[nz].astype(np.float64)
+            uniq_ct = nz
+        else:
+            # huge-vocab fallback: unbounded key space, sort-based combine
+            uniq_ct, inv = np.unique(key_ct, return_inverse=True)
+            occ = np.bincount(inv, weights=c_rt_f)
+            sumsq = np.bincount(inv, weights=c_rt_f**2)
+            df = np.bincount(inv).astype(np.float64)
         packed = ((uniq_ct // vmax) << 32) | (uniq_ct % vmax)
 
         cls_rows = np.bincount(src_codes, minlength=len(class_lut)).astype(np.float64)
@@ -169,18 +183,27 @@ def _merge_block_refs(*tables: pa.Table):
 
 def tree_reduce_partials(partials: Dataset, fan_in: int = 8):
     """Distributed fan-in tree reduce over the partial blocks (parallel
-    merges, log depth) — replaces Ray Data's serial ungrouped aggregate."""
+    merges, log depth) — replaces Ray Data's serial ungrouped aggregate.
+
+    Level 0 combines each block ALONE (fan-in 1) before the fan-in-8
+    levels: Ray coalesces many per-block kernel outputs into one ~128 MB
+    materialized block (~10x the K x V key space in duplicate keys), so a
+    raw 8-way merge task would fetch ~0.7 GB and np.unique ~20M rows — the
+    measured non-scaling residual of the stats phase (8-20 s flat at 8 and
+    32 CPUs on the 32M-row corpus). The per-block pass collapses every
+    block to <= K x V rows at full map parallelism first, making the
+    merge levels ~10x smaller."""
     refs = list(partials.to_arrow_refs())
     if not refs:
         return (np.array([], dtype=np.int64), np.array([]), np.array([]), np.array([]))
-    first = True
-    while len(refs) > 1 or first:
+    # level 0: per-block canonicalize (also required for a single-block
+    # input, whose one raw block may contain duplicate keys)
+    refs = [_merge_block_refs.remote(r) for r in refs]
+    while len(refs) > 1:
         refs = [
             _merge_block_refs.remote(*refs[i : i + fan_in])
             for i in range(0, len(refs), fan_in)
         ]
-        first = False  # always at least one merge pass: a single raw block
-        # may itself contain duplicate keys (one partial row set per batch)
     state = ray.get(refs[0])
     if state is None:
         return (np.array([], dtype=np.int64), np.array([]), np.array([]), np.array([]))
