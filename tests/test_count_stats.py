@@ -67,3 +67,40 @@ def test_partials_are_small():
     p = partial_counts(t)
     n_occurrences = int(np.sum(t["n_tok"].to_numpy()))
     assert len(p) < n_occurrences / 2
+
+
+def test_row_token_counts_padded_matches_sort_fallback():
+    """The padded per-row-sort fast path and the global-sort fallback of
+    _row_token_counts must agree exactly on random ragged inputs, and the
+    guard must route pathological (one-long-row) inputs to the fallback."""
+    from modlyn_ray.stages.count_stats import _row_token_counts
+
+    rng = np.random.default_rng(7)
+
+    def reference(flat, lens, vmax):
+        row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        key = row_idx * vmax + flat.astype(np.int64)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return uniq // vmax, uniq % vmax, cnt
+
+    for trial in range(5):
+        lens = rng.integers(0, 50, size=400).astype(np.int64)
+        flat = rng.integers(0, 97, size=int(lens.sum())).astype(np.int32)
+        vmax = int(flat.max()) + 1 if len(flat) else 1
+        got = _row_token_counts(flat, lens, vmax)
+        want = reference(flat, lens, vmax)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    # guard: one 5000-token row among 1-token rows -> padded blowup > 4x,
+    # must still be correct (fallback path)
+    lens = np.concatenate([[5000], np.ones(2000, dtype=np.int64)])
+    flat = rng.integers(0, 31, size=int(lens.sum())).astype(np.int32)
+    got = _row_token_counts(flat, lens, 31 + 1)
+    want = reference(flat, lens, 31 + 1)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # empty input
+    z = _row_token_counts(np.empty(0, np.int32), np.zeros(3, np.int64), 1)
+    assert all(len(a) == 0 for a in z)
