@@ -358,11 +358,13 @@ def run_scaling() -> dict:
     best: dict[int, dict] = {}
     for w in range(n_windows):
         sec: dict[int, float] = {}
+        phase: dict[int, dict] = {}
         burn_t: dict[int, float] = {}
         copy_t: dict[int, float] = {}
         for n in base_levels:
             r = one(n)
             sec[n] = r["value"]
+            phase[n] = {"pit": r.get("pit_sec"), "stats": r.get("count_stats_sec")}
             if n not in best or r["value"] < best[n]["value"]:
                 best[n] = r
             # calibration sampled adjacent to the level it calibrates
@@ -370,7 +372,9 @@ def run_scaling() -> dict:
             copy_t[n] = _hw_throughput(n, _copy)
         wrec: dict = {
             "sec": {str(n): round(sec[n], 3) for n in sec},
+            "phase_sec": {str(n): phase[n] for n in phase},
             "raw_eff": {},
+            "phase_raw_eff": {},
             "hw_burn_speedup": {},
             "hw_copy_speedup": {},
             "hw_normalized_eff": {},
@@ -380,6 +384,12 @@ def run_scaling() -> dict:
             tag = f"{lo}_{hi}"
             sp = sec[lo] / sec[hi]
             wrec["raw_eff"][tag] = round(sp / 4.0, 3)
+            # per-phase decomposition: which phase is the scaling residual
+            wrec["phase_raw_eff"][tag] = {
+                ph: round(phase[lo][ph] / phase[hi][ph] / 4.0, 3)
+                for ph in ("pit", "stats")
+                if phase[lo].get(ph) and phase[hi].get(ph)
+            }
             bsp = burn_t[hi] / burn_t[lo]
             csp = copy_t[hi] / copy_t[lo]
             wrec["hw_burn_speedup"][tag] = round(bsp, 3)
@@ -399,12 +409,17 @@ def run_scaling() -> dict:
         m = len(xs) // 2
         return xs[m] if len(xs) % 2 else round((xs[m - 1] + xs[m]) / 2.0, 4)
 
-    med_eff, med_norm, dist = {}, {}, {}
+    med_eff, med_norm, med_phase, dist = {}, {}, {}, {}
     for lo in pair_bases:
         tag = f"{lo}_{4 * lo}"
         vals = [w["raw_eff"][tag] for w in windows]
         dist[tag] = vals
         med_eff[tag] = median(vals)
+        med_phase[tag] = {
+            ph: median(pvals)
+            for ph in ("pit", "stats")
+            if (pvals := [w["phase_raw_eff"][tag][ph] for w in windows if ph in w["phase_raw_eff"].get(tag, {})])
+        }
         norms = [w["hw_normalized_eff"][tag] for w in windows if w["hw_normalized_eff"][tag]]
         med_norm[tag] = median(norms) if norms else None
     # headline = the LARGEST measured pair's MEDIAN (never the best window)
@@ -417,6 +432,7 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "profile": os.environ.get("GRAFT_SCALING_PROFILE", "scale32"),
         "median_raw_efficiency": med_eff,
+        "median_phase_raw_efficiency": med_phase,
         "raw_efficiency_per_window": dist,
         "median_hw_normalized_efficiency": med_norm,
         "windows": windows,
