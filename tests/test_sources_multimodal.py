@@ -59,5 +59,69 @@ def test_media_featurize_plumbing():
 def test_media_strict_mode_raises_without_decoder():
     feat = MediaFeaturizer(decode="strict")
     if not feat.has_pil:
-        with pytest.raises(NotImplementedError, match="real media decode"):
+        with pytest.raises(NotImplementedError, match="strict decode"):
             feat(make_media(2))
+
+
+# ---------------------------------------------------------------------------
+# real stdlib codecs (stages/codecs.py): PNG + PCM WAV
+
+
+def test_png_round_trip_every_filter_and_layout():
+    from modlyn_ray.stages import codecs
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(11, 7, c), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            data = codecs.encode_png(img, filters=filters)
+            out = codecs.decode_png(data)
+            np.testing.assert_array_equal(out, img)
+
+
+def test_png_rejects_bad_input():
+    from modlyn_ray.stages import codecs
+
+    with pytest.raises(ValueError, match="bad signature"):
+        codecs.decode_png(b"not a png at all")
+
+
+def test_wav_round_trip_exact_int16():
+    from modlyn_ray.stages import codecs
+
+    rng = np.random.default_rng(8)
+    pcm = rng.integers(-32768, 32768, size=(300, 2), dtype=np.int16)
+    x = pcm.astype(np.float32) / 32768.0
+    samples, rate = codecs.decode_wav(codecs.encode_wav(x, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal((samples * 32768.0).astype(np.int16), pcm)
+
+
+def test_media_real_decode_end_to_end():
+    from modlyn_ray.stages.multimodal import make_real_media
+
+    tbl = make_real_media(16)
+    out = featurize_media(
+        rd.from_arrow(tbl), feature_dim=12, decode="real", concurrency=1
+    ).to_pandas()
+    assert len(out) == 16 and out["features"].map(len).eq(12).all()
+    feats = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    assert np.isfinite(feats).all()
+    # features are content-derived, not metadata echoes: the image rows'
+    # channel slot (index 2) must match the PNG's actual channel count
+    feat = MediaFeaturizer(feature_dim=12, decode="real")
+    local = feat(tbl).to_pandas().sort_values("media_id")
+    np.testing.assert_allclose(
+        np.stack(local["features"].to_numpy()), feats, rtol=1e-6
+    )
+    from modlyn_ray.stages import codecs
+
+    img0 = codecs.decode_png(tbl["payload"][0].as_py())
+    assert feats[0, 2] == img0.shape[2]
+    assert abs(feats[0, 3] - img0.astype(np.float32).mean() / 255.0) < 1e-5
+
+
+def test_media_real_decode_rejects_unknown_container():
+    feat = MediaFeaturizer(decode="real")
+    with pytest.raises(NotImplementedError, match="libav"):
+        feat(make_media(2))  # random bytes: neither PNG nor RIFF
