@@ -70,7 +70,18 @@ def _row_token_counts(flat: np.ndarray, lens: np.ndarray, vmax: int):
     Lmax = int(lens.max())
     padded = n * Lmax
     if vmax < np.iinfo(np.int32).max and padded <= 4 * total and padded <= (1 << 25):
-        M = np.full((n, Lmax), vmax, dtype=np.int32)
+        # uint16 when the vocab fits (token ids in [0, 65534)): the row
+        # sort is memory-bandwidth-bound, so halving the element width
+        # halves the kernel's dominant traffic (the stats phase's measured
+        # scaling residual on the 32M-row corpus is exactly this kernel).
+        # The min() guard keeps any negative id on the wide path, where it
+        # stays a distinct value instead of wrapping.
+        dt = (
+            np.uint16
+            if vmax < np.iinfo(np.uint16).max and int(flat.min()) >= 0
+            else np.int32
+        )
+        M = np.full((n, Lmax), vmax, dtype=dt)
         M[np.arange(Lmax) < lens[:, None]] = flat
         M.sort(axis=1)
         F = M.ravel()
@@ -221,24 +232,27 @@ def _merge_block_refs(*tables: pa.Table):
     return state
 
 
-def tree_reduce_partials(partials: Dataset, fan_in: int = 8):
+def tree_reduce_partials(partials: Dataset, fan_in: int = 8, canonical_blocks: bool = False):
     """Distributed fan-in tree reduce over the partial blocks (parallel
     merges, log depth) — replaces Ray Data's serial ungrouped aggregate.
 
-    Level 0 combines each block ALONE (fan-in 1) before the fan-in-8
-    levels: Ray coalesces many per-block kernel outputs into one ~128 MB
-    materialized block (~10x the K x V key space in duplicate keys), so a
-    raw 8-way merge task would fetch ~0.7 GB and np.unique ~20M rows — the
-    measured non-scaling residual of the stats phase (8-20 s flat at 8 and
-    32 CPUs on the 32M-row corpus). The per-block pass collapses every
-    block to <= K x V rows at full map parallelism first, making the
-    merge levels ~10x smaller."""
+    ``canonical_blocks=True`` (set when the partial kernel ran once per
+    BLOCK, so every block already holds unique keys) skips the level-0
+    per-block canonicalize pass and tree-merges the raw refs directly:
+    the level-0 round-trip measured 3.1 s at 8 CPUs and 4.2-5.8 s at 32
+    (object-store contention makes it anti-scale) for zero work — an
+    8-way merge over <= K x V-row canonical blocks is ~2M-row np.unique
+    per task either way. When the kernel ran per 32k-row BATCH instead,
+    Ray coalesces many batch outputs into one materialized block with
+    ~10x the K x V key space in duplicate keys, and the per-block
+    pre-combine at full map parallelism still pays for itself."""
     refs = list(partials.to_arrow_refs())
     if not refs:
         return (np.array([], dtype=np.int64), np.array([]), np.array([]), np.array([]))
-    # level 0: per-block canonicalize (also required for a single-block
-    # input, whose one raw block may contain duplicate keys)
-    refs = [_merge_block_refs.remote(r) for r in refs]
+    if not canonical_blocks or len(refs) == 1:
+        # level 0: per-block canonicalize (duplicate-keyed raw blocks; the
+        # single-block case also converts the Table ref to a state tuple)
+        refs = [_merge_block_refs.remote(r) for r in refs]
     while len(refs) > 1:
         refs = [
             _merge_block_refs.remote(*refs[i : i + fan_in])
@@ -386,7 +400,12 @@ def count_stats(
         # 262k-row table costs ~10x the math itself in orchestration.
         import ray.data as rd
 
-        state = tree_reduce_partials(partials)
+        # batch_size=None runs the kernel once per block, so partial blocks
+        # are (near-)canonical — at most a few kernel outputs per block,
+        # not the ~10x duplication of the per-32k-batch path — and the
+        # tree skips its level-0 canonicalize pass (merges canonicalize
+        # every input anyway, so this is purely a cost knob)
+        state = tree_reduce_partials(partials, canonical_blocks=batch_size is None)
         return rd.from_arrow(
             _finalize_state_numpy(state, class_names, k_classes)
         )
