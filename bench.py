@@ -127,7 +127,9 @@ def run_benchmark() -> dict:
     # throughput). One untimed pass of each pipeline, then the timed runs.
     rd.read_parquet(seq_path).count()
     make_pit().count()
-    count_stats(rd.read_parquet(seq_path)).count()
+    count_stats(
+        rd.read_parquet(seq_path, columns=["source", "tokens"])
+    ).count()
 
     n_rows = profile.n_rows
     # total token count (cheap metadata-level aggregate)
@@ -156,7 +158,11 @@ def run_benchmark() -> dict:
         assert out_rows == n_rows, (out_rows, n_rows)
 
         t0 = time.perf_counter()
-        stats_rows = count_stats(rd.read_parquet(seq_path)).count()
+        # columns= prunes at the parquet reader (Ray has no projection
+        # pushdown; see count_stats docstring)
+        stats_rows = count_stats(
+            rd.read_parquet(seq_path, columns=["source", "tokens"])
+        ).count()
         stats_all.append(round(time.perf_counter() - t0, 3))
         t_stats = min(t_stats, stats_all[-1])
 

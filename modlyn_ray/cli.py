@@ -118,7 +118,9 @@ def main(argv: list[str] | None = None) -> int:
         ds = run_stage(
             args.out,
             "count_stats",
-            lambda: count_stats(rd.read_parquet(args.input)),
+            lambda: count_stats(
+                rd.read_parquet(args.input, columns=["source", "tokens"])
+            ),
             config={"input": args.input},
             inputs=[args.input],
         )

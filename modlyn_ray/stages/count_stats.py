@@ -361,10 +361,16 @@ def count_stats(
     class_names = np.asarray(classes, dtype=object)
     k_classes = len(classes)
 
-    # the partial kernel touches ONLY (source, tokens): project before the
-    # map so the parquet read prunes every other column (doc_id, n_tok,
-    # timestamps, attrs never leave storage — M8 pushdown on this path too)
-    ds = ds.select_columns(["source", "tokens"])
+    # the partial kernel touches ONLY (source, tokens). Ray 2.49 has no
+    # projection-pushdown rule and never fuses ReadParquet with downstream
+    # maps, so a select_columns here does NOT prune the file read — callers
+    # on the hot path should pass ``read_parquet(..., columns=["source",
+    # "tokens"])`` so pruning happens inside the reader itself. The
+    # projection below is then skipped entirely (no extra Project
+    # operator); for wider inputs it still bounds what the kernel ships.
+    schema = ds.schema(fetch_if_missing=False)
+    if schema is None or set(schema.names) != {"source", "tokens"}:
+        ds = ds.select_columns(["source", "tokens"])
 
     partials = ds.map_batches(
         make_partial_counts(class_lut),
