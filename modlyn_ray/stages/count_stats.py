@@ -48,6 +48,15 @@ from ray.data.aggregate import Sum
 
 _SENT = (1 << 32) - 1  # token slot carrying per-class row counts
 
+# Recommended parquet READER batch size for hot-path callers (forwarded by
+# ray.data.read_parquet(..., batch_size=...) to the Arrow fragment scanner):
+# the fused kernel then sees ~250k-row record batches ZERO-COPY — no batcher
+# concatenation — and each kernel call emits the bounded (class, token) key
+# space once instead of ~25 times, which sets the map->reduce
+# pre-aggregation ratio (see count_stats docstring). 250k x Lmax<=134 also
+# stays inside the padded-sort fast path's 2^25-cell guard.
+_READER_BATCH_ROWS = 250_000
+
 
 def _row_token_counts(flat: np.ndarray, lens: np.ndarray, vmax: int):
     """Per-(row, token) occurrence counts -> (row_of, tok_of, c_rt).
@@ -214,22 +223,72 @@ def _merge_states(a, b):
 @ray.remote
 def _merge_block_refs(*tables: pa.Table):
     """Merge a fan-in of partial tables (or prior merged states) into one
-    combined (keys, occ, sumsq, df) state tuple."""
-    state = None
+    combined (keys, occ, sumsq, df) state tuple.
+
+    Fast path: when the (class, token) key space is bounded (it is by
+    construction on the tree path — the huge-vocab case routes through
+    shuffle_aggregate), accumulate each input straight into dense
+    per-slot arrays with np.bincount — O(n), no sort, no concat. The
+    previous pairwise concat+np.unique merge was O(fan_in * n log n) and
+    measured 4.2 s per 8-way merge of ~2.6M-row blocks; the dense path
+    does the same merge in ~0.3 s. Inputs whose token ids exceed the
+    2^26-slot budget fall back to one batched concat+unique (still one
+    sort instead of fan_in of them)."""
+    states = []
     for t in tables:
         if t is None:
             continue
         if isinstance(t, tuple):
-            s = t
+            states.append(tuple(np.asarray(x) for x in t))
         else:
-            s = (
-                t["key"].to_numpy(),
-                t["occ"].to_numpy(),
-                t["sumsq"].to_numpy(),
-                t["df"].to_numpy(),
+            states.append(
+                (
+                    t["key"].to_numpy(),
+                    t["occ"].to_numpy(),
+                    t["sumsq"].to_numpy(),
+                    t["df"].to_numpy(),
+                )
             )
-        state = _merge_states(state, s)
-    return state
+    states = [s for s in states if len(s[0])]
+    if not states:
+        return None
+    # bounded-key-space probe: token slots below vmax plus the sentinel
+    tmax = 0
+    kmax = 0
+    for keys, *_ in states:
+        keys = keys.astype(np.int64, copy=False)
+        tok = keys & _SENT
+        cls = keys >> 32
+        real = tok[tok != _SENT]
+        if len(real):
+            tmax = max(tmax, int(real.max()))
+        kmax = max(kmax, int(cls.max()) + 1)
+    n_slots = tmax + 2  # [0, tmax] real tokens + one sentinel slot
+    kspace = kmax * n_slots
+    if kspace <= (1 << 26):
+        occ_d = np.zeros(kspace, dtype=np.float64)
+        sumsq_d = np.zeros(kspace, dtype=np.float64)
+        df_d = np.zeros(kspace, dtype=np.float64)
+        for keys, occ, sumsq, df in states:
+            keys = keys.astype(np.int64, copy=False)
+            tok = keys & _SENT
+            cls = keys >> 32
+            slot = cls * n_slots + np.where(tok == _SENT, tmax + 1, tok)
+            occ_d += np.bincount(slot, weights=occ, minlength=kspace)
+            sumsq_d += np.bincount(slot, weights=sumsq, minlength=kspace)
+            df_d += np.bincount(slot, weights=df, minlength=kspace)
+        nz = np.flatnonzero(occ_d)
+        cls = nz // n_slots
+        tokslot = nz % n_slots
+        tok = np.where(tokslot == tmax + 1, _SENT, tokslot)
+        return ((cls << 32) | tok, occ_d[nz], sumsq_d[nz], df_d[nz])
+    # unbounded fallback: one batched concat + canonicalize (single sort)
+    return _combine_state(
+        np.concatenate([s[0] for s in states]),
+        np.concatenate([s[1] for s in states]),
+        np.concatenate([s[2] for s in states]),
+        np.concatenate([s[3] for s in states]),
+    )
 
 
 def tree_reduce_partials(partials: Dataset, fan_in: int = 8, canonical_blocks: bool = False):
@@ -336,11 +395,20 @@ def count_stats(
     Result schema: (source, token_id, count: int64, df: int64, freq, mean,
     var, f_score: float64), one row per (class, token) with nonzero support.
 
-    ``batch_size=None`` (default) runs the partial kernel once per BLOCK:
-    each block then contributes at most one partial row per distinct
-    (class, token) pair, instead of one per pair per 32k-row batch —
-    ~3-8x fewer materialized partial rows feeding the reduce tree, which
-    is the stats phase's scaling-limiting stage at 32M rows.
+    ``batch_size`` feeds the partial kernel; the default (None) hands the
+    kernel whatever the upstream pipeline yields — for a parquet read,
+    the READER's record batches (Ray's default ~10k rows), NOT whole
+    blocks. Each tiny batch re-emits its slice of the (class, token) key
+    space, so the raw partials stream is ~11x the key space on the
+    32M-row corpus (64 blocks x 2.6M rows, ~5.4 GB; the reduce tree alone
+    cost 7-15 s at 32 CPUs chewing it). Two measured non-fixes: an
+    explicit kernel ``batch_size`` makes Ray's batcher concatenate the
+    wide token-list column before every call (map 21 -> 37 s), and a
+    fused combine stage with an explicit batch_size hits the same batcher
+    pathology (44-102 s end-to-end). The fix is at the READER: hot-path
+    callers pass ``read_parquet(..., batch_size=_READER_BATCH_ROWS)`` so
+    the Arrow scanner itself yields ~250k-row batches zero-copy into the
+    kernel — same pruning-at-the-read precedent as ``columns=[...]``.
     """
     if classes is None:
         # LabelEncoder.classes_ analog. Project to the source column FIRST
@@ -382,6 +450,10 @@ def count_stats(
         # hash-shuffle path: unbounded key spaces (huge vocab x classes).
         # combine_partials first: a block holds several batch outputs, so a
         # local merge by key cuts the shuffle input before the exchange.
+        # NOTE: no explicit batch_size here — Ray's batcher concatenates
+        # accumulated batches before every UDF call and measured 5-10x
+        # slower than the no-op combine it replaces (see docstring); the
+        # real pre-aggregation lever is the READER batch size.
         combined = partials.map_batches(
             combine_partials, batch_format="pyarrow", zero_copy_batch=True
         )
@@ -406,12 +478,10 @@ def count_stats(
         # 262k-row table costs ~10x the math itself in orchestration.
         import ray.data as rd
 
-        # batch_size=None runs the kernel once per block, so partial blocks
-        # are (near-)canonical — at most a few kernel outputs per block,
-        # not the ~10x duplication of the per-32k-batch path — and the
-        # tree skips its level-0 canonicalize pass (merges canonicalize
-        # every input anyway, so this is purely a cost knob)
-        state = tree_reduce_partials(partials, canonical_blocks=batch_size is None)
+        # the tree's merges canonicalize every input, so no separate
+        # level-0 pre-combine pass is needed; the pre-aggregation ratio is
+        # set by the READER batch size (see docstring / _READER_BATCH_ROWS)
+        state = tree_reduce_partials(partials, canonical_blocks=True)
         return rd.from_arrow(
             _finalize_state_numpy(state, class_names, k_classes)
         )

@@ -104,3 +104,69 @@ def test_row_token_counts_padded_matches_sort_fallback():
     # empty input
     z = _row_token_counts(np.empty(0, np.int32), np.zeros(3, np.int64), 1)
     assert all(len(a) == 0 for a in z)
+
+
+def test_dense_merge_matches_pairwise_merge():
+    """_merge_block_refs' dense-bincount fast path must agree exactly with
+    the pairwise concat+unique reference on mixed table/tuple inputs,
+    including sentinel rows, and its huge-vocab fallback must canonicalize."""
+    import pyarrow as pa
+    import ray
+
+    from modlyn_ray.stages.count_stats import _SENT, _merge_block_refs, _merge_states
+
+    rng = np.random.default_rng(11)
+    tables = []
+    for _ in range(5):
+        n = int(rng.integers(100, 3000))
+        cls = rng.integers(0, 7, n).astype(np.int64)
+        tok = rng.integers(0, 900, n).astype(np.int64)
+        tok[rng.random(n) < 0.01] = _SENT
+        tables.append(
+            pa.table(
+                {
+                    "key": pa.array((cls << 32) | tok),
+                    "occ": pa.array(rng.integers(1, 9, n).astype(np.float64)),
+                    "sumsq": pa.array(rng.random(n) * 100),
+                    "df": pa.array(rng.integers(1, 5, n).astype(np.float64)),
+                }
+            )
+        )
+
+    got = ray.get(_merge_block_refs.remote(*tables))
+    want = None
+    for t in tables:
+        want = _merge_states(
+            want,
+            (
+                t["key"].to_numpy(),
+                t["occ"].to_numpy(),
+                t["sumsq"].to_numpy(),
+                t["df"].to_numpy(),
+            ),
+        )
+    order = np.argsort(got[0])
+    np.testing.assert_array_equal(np.sort(got[0]), want[0])
+    for i in (1, 2, 3):
+        np.testing.assert_allclose(got[i][order], want[i], rtol=1e-12)
+
+    # mixed tuple + table input (a level-2 merge consumes level-1 states)
+    again = ray.get(_merge_block_refs.remote(got, tables[0]))
+    assert len(again[0]) == len(want[0])
+
+    # huge-vocab ids exceed the dense budget -> batched concat+unique path
+    n = 500
+    big_tok = rng.integers(0, 2**31, n).astype(np.int64)
+    big = pa.table(
+        {
+            "key": pa.array(((np.arange(n, dtype=np.int64) % 3) << 32) | big_tok),
+            "occ": pa.array(np.ones(n)),
+            "sumsq": pa.array(np.ones(n)),
+            "df": pa.array(np.ones(n)),
+        }
+    )
+    merged = ray.get(_merge_block_refs.remote(big, big))
+    assert np.all(np.diff(merged[0]) > 0)  # canonical (unique, sorted)
+    np.testing.assert_allclose(merged[1], 2.0 * np.bincount(
+        np.searchsorted(merged[0], big["key"].to_numpy()), minlength=len(merged[0])
+    ))
