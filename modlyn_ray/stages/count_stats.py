@@ -48,14 +48,6 @@ from ray.data.aggregate import Sum
 
 _SENT = (1 << 32) - 1  # token slot carrying per-class row counts
 
-# Recommended parquet READER batch size for hot-path callers (forwarded by
-# ray.data.read_parquet(..., batch_size=...) to the Arrow fragment scanner):
-# the fused kernel then sees ~250k-row record batches ZERO-COPY — no batcher
-# concatenation — and each kernel call emits the bounded (class, token) key
-# space once instead of ~25 times, which sets the map->reduce
-# pre-aggregation ratio (see count_stats docstring). 250k x Lmax<=134 also
-# stays inside the padded-sort fast path's 2^25-cell guard.
-_READER_BATCH_ROWS = 250_000
 
 
 def _row_token_counts(flat: np.ndarray, lens: np.ndarray, vmax: int):
@@ -400,15 +392,18 @@ def count_stats(
     the READER's record batches (Ray's default ~10k rows), NOT whole
     blocks. Each tiny batch re-emits its slice of the (class, token) key
     space, so the raw partials stream is ~11x the key space on the
-    32M-row corpus (64 blocks x 2.6M rows, ~5.4 GB; the reduce tree alone
-    cost 7-15 s at 32 CPUs chewing it). Two measured non-fixes: an
-    explicit kernel ``batch_size`` makes Ray's batcher concatenate the
-    wide token-list column before every call (map 21 -> 37 s), and a
-    fused combine stage with an explicit batch_size hits the same batcher
-    pathology (44-102 s end-to-end). The fix is at the READER: hot-path
-    callers pass ``read_parquet(..., batch_size=_READER_BATCH_ROWS)`` so
-    the Arrow scanner itself yields ~250k-row batches zero-copy into the
-    kernel — same pruning-at-the-read precedent as ``columns=[...]``.
+    32M-row corpus (64 blocks x 2.6M rows, ~5.4 GB). Three measured
+    NON-fixes (leave batch_size alone — BASELINE.md "Stats-phase
+    decomposition"): an explicit kernel ``batch_size`` makes Ray's
+    batcher concatenate the wide token-list column before every call
+    (map 21 -> 37 s); a fused combine stage with explicit batch_size hits
+    the same batcher pathology (44-102 s end-to-end); reader-level
+    ``read_parquet(batch_size=250_000)`` is ALSO pathological (4-cycle
+    interleaved medians 59.5 s vs 17.6 s default). The inflated partial
+    stream is instead absorbed by the reduce: ``_merge_block_refs``
+    accumulates its whole fan-in into dense per-slot arrays with
+    np.bincount — one O(n) pass, no concat, no sort — so the ~11x
+    duplication costs bincount adds, not comparison sorts.
     """
     if classes is None:
         # LabelEncoder.classes_ analog. Project to the source column FIRST
@@ -478,9 +473,10 @@ def count_stats(
         # 262k-row table costs ~10x the math itself in orchestration.
         import ray.data as rd
 
-        # the tree's merges canonicalize every input, so no separate
-        # level-0 pre-combine pass is needed; the pre-aggregation ratio is
-        # set by the READER batch size (see docstring / _READER_BATCH_ROWS)
+        # the tree's merges canonicalize every input (dense bincount
+        # accumulation — see _merge_block_refs), so no separate level-0
+        # pre-combine pass is needed and the reader-batch-sized partial
+        # duplication is absorbed at O(n)
         state = tree_reduce_partials(partials, canonical_blocks=True)
         return rd.from_arrow(
             _finalize_state_numpy(state, class_names, k_classes)
