@@ -14,7 +14,11 @@ same surface over a ``ray.data.Dataset`` of tokenized sequences:
     results = cmp.compute_jaccard_comparison()
 
 Differences from the reference (deliberate, documented):
-- no matplotlib plot methods (SURVEY §2.1 S7 — metrics manifests instead)
+- plot methods render PNG bytes via the in-repo headless rasterizer
+  (:mod:`modlyn_ray.plotting`) instead of matplotlib figures (SURVEY
+  §2.1 S7; the sandbox has no matplotlib) — same series/grouping/shared
+  color scale, and the underlying tables still persist via
+  ``write_artifacts``
 - ``plot_classification_report``'s eval-side LabelEncoder REFIT
   (_simple_logreg_model.py:235-236) is not reproduced; evaluation reuses
   the train encoder (SURVEY §7.4.6) via ``classification_metrics()``
@@ -185,6 +189,44 @@ class SimpleLogReg:
         )
         return paths
 
+    def plot_losses(self, path: str | None = None, **kw) -> bytes:
+        """Two-panel train/val loss figure as PNG bytes — the reference's
+        plot_losses (_simple_logreg_model.py:194-223) rendered headless."""
+        if self.model is None:
+            raise RuntimeError("call fit() first")
+        from modlyn_ray import plotting
+
+        vh = self.model.val_history or []
+        return plotting.plot_losses(
+            list(range(len(self.model.losses))),
+            self.model.losses,
+            [h["step"] for h in vh],
+            [h["val_loss"] for h in vh],
+            path=path,
+            **kw,
+        )
+
+    def plot_classification_report(
+        self, ds: Dataset | None = None, path: str | None = None, **kw
+    ) -> bytes:
+        """Per-class Recall/Precision/F1 + random-baseline bars as PNG
+        bytes (_simple_logreg_model.py:225-275; metrics from the train
+        encoder via evaluate(), never a refit)."""
+        from modlyn_ray import plotting
+
+        m = self.evaluate(ds)
+        classes = self.model.classes
+        per = m["per_class"]
+        return plotting.plot_classification_report(
+            classes,
+            [per[c]["recall"] for c in classes],
+            [per[c]["precision"] for c in classes],
+            [per[c]["f1"] for c in classes],
+            label_column=self.label_column,
+            path=path,
+            **kw,
+        )
+
     def evaluate(self, ds: Dataset | None = None) -> dict:
         """Accuracy / macro + weighted F1 / per-class P-R-F1 on a dataset
         (train encoder reused — never refit). Works with any
@@ -247,6 +289,22 @@ class CompareScores:
             paths["grouped_means"], index=False
         )
         return paths
+
+    def plot_jaccard_comparison(self, path: str | None = None, **kw) -> bytes:
+        """Grouped mean-Jaccard bars by (n_top, method_pair) as PNG bytes
+        (_jaccard.py:84-143 rendered headless)."""
+        from modlyn_ray import plotting
+
+        if self.results_df is None:
+            self.compute_jaccard_comparison()
+        return plotting.plot_jaccard_comparison(self.results_df, path=path, **kw)
+
+    def plot_heatmaps(self, path: str | None = None, **kw) -> bytes:
+        """Side-by-side viridis heatmaps on a shared color scale as PNG
+        bytes (_jaccard.py:145-172 rendered headless)."""
+        from modlyn_ray import plotting
+
+        return plotting.plot_heatmaps(self.dataframes, path=path, **kw)
 
     def compute_jaccard_comparison_distributed(self) -> pd.DataFrame:
         """Same semantics over tall Datasets (for vocab sizes where wide
