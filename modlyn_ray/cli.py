@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     sl.add_argument("--vocab", type=int)
     sl.add_argument("--steps", type=int, default=50)
     sl.add_argument("--batch", type=int, default=256)
+    sl.add_argument(
+        "--plots",
+        action="store_true",
+        help="also render losses.png + classification_report.png (headless "
+        "rasterizer, modlyn_ray.plotting) next to the parquet artifacts",
+    )
 
     sd = sub.add_parser("dedup", help="deduplicate a document table")
     sd.add_argument("--input", required=True)
@@ -157,7 +163,13 @@ def main(argv: list[str] | None = None) -> int:
         # next to the weights — skipped when run_stage resumed from a
         # finished manifest (build never ran; the artifacts already exist)
         if trained:
-            trained[0].write_artifacts(os.path.join(args.out, "artifacts"))
+            art = os.path.join(args.out, "artifacts")
+            trained[0].write_artifacts(art)
+            if args.plots:
+                trained[0].plot_losses(path=os.path.join(art, "losses.png"))
+                trained[0].plot_classification_report(
+                    path=os.path.join(art, "classification_report.png")
+                )
     elif args.cmd == "dedup":
         from modlyn_ray.stages import dedup as dd
 

@@ -41,5 +41,11 @@ def test_cli_pipelines(tmp_path):
     assert r["rows"] > 0
 
     r = _run(["logreg", "--input", f"{data}/sequences", "--out", str(tmp_path / "lr"),
-              "--vocab", "8", "--steps", "10", "--batch", "16"])
+              "--vocab", "8", "--steps", "10", "--batch", "16", "--plots"])
     assert r["rows"] == 3 * 8  # classes x vocab tall weights
+    from modlyn_ray.stages.codecs import decode_png
+
+    art = tmp_path / "lr" / "artifacts"
+    for png in ("losses.png", "classification_report.png"):
+        img = decode_png((art / png).read_bytes())
+        assert img.ndim == 3 and img.shape[2] == 3
