@@ -32,6 +32,11 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+# int32 list-offset availability ceiling per merge bucket (ADVICE r4:
+# failure is loud, never silent corruption); tests lower it to exercise
+# the guard without materializing 2^31 tokens
+_MAX_BUCKET_TOKENS = np.iinfo(np.int32).max
+
 
 def _list_parts(col) -> tuple[np.ndarray, np.ndarray, pa.Array]:
     """(rebased offsets int64, flat numpy values, flat arrow values)."""
@@ -178,6 +183,7 @@ def pack_concat(
     n_buckets: int = 64,
     offsets_via: str = "auto",
     broadcast_max_docs: int = 10_000_000,
+    max_bucket_tokens: int = _MAX_BUCKET_TOKENS,
 ) -> Dataset:
     """Concat-and-chunk packing: within each ``group_col``, order rows by
     ``key_col`` (must be unique WITHIN its group — both attach paths key
@@ -426,7 +432,7 @@ def pack_concat(
             per_seg = np.bincount(seg_id, weights=ln, minlength=n_out).astype(np.int64)
             no = np.zeros(n_out + 1, dtype=np.int64)
             np.cumsum(per_seg, out=no[1:])
-            if no[-1] > np.iinfo(np.int32).max:
+            if no[-1] > max_bucket_tokens:
                 raise ValueError(
                     f"pack_concat: merge bucket holds {int(no[-1])} token "
                     "values, exceeding int32 list offsets — raise n_buckets "

@@ -285,6 +285,32 @@ def test_pack_concat_rejects_duplicate_keys(ray_session):
         pack_concat(rd.from_arrow(tbl), 4, n_buckets=2).to_pandas()
 
 
+def test_pack_concat_bucket_token_ceiling_raises_loud(ray_session):
+    """The per-merge-bucket int32-offset ceiling (ADVICE r4) fails LOUDLY
+    with n_buckets guidance, never silently corrupting offsets — exercised
+    by lowering the injectable ceiling instead of materializing 2^31
+    tokens."""
+    import pytest
+
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "source": pa.array(["s", "s", "s"]),
+            "tokens": pa.array([[1, 2, 3], [4, 5], [6, 7, 8]], pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 2, 3], pa.int32()),
+        }
+    )
+    with pytest.raises(Exception, match="exceeding int32 list offsets"):
+        pack_concat(
+            rd.from_arrow(tbl), 4, n_buckets=1, max_bucket_tokens=5
+        ).to_pandas()
+    # same data passes at the real ceiling
+    ok = pack_concat(rd.from_arrow(tbl), 4, n_buckets=1).to_pandas()
+    assert int(ok["n_tok"].sum()) == 8
+
+
 def test_pack_concat_auto_routes_shuffle_above_threshold(ray_session):
     """offsets_via='auto' must pick the distributed shuffle attach once the
     doc count exceeds broadcast_max_docs (no driver-resident index), and the
