@@ -449,12 +449,20 @@ def plot_heatmaps(
             c = cell
         rendered.append(np.repeat(np.repeat(rgb, c, axis=0), c, axis=1))
 
-    gap, top, bottom, left = 24, 40, 16, 16
+    # row labels (class names) when the cells are tall enough to align with
+    row_labels = [str(i)[:8] for i in dfs[0].index]
+    cell_h = rendered[0].shape[0] // max(len(dfs[0].index), 1)
+    label_w = (max(6 * len(s) for s in row_labels) + 8) if cell_h >= 8 else 0
+
+    gap, top, bottom, left = 24, 40, 16, 16 + label_w
     cbar_w = 70
     ph = max(r.shape[0] for r in rendered)
     w = left + sum(r.shape[1] + gap for r in rendered) + cbar_w + 40
     h = top + ph + bottom
     cv = Canvas(w, h)
+    if label_w:
+        for ri, s in enumerate(row_labels):
+            cv.text(16, top + ri * cell_h + cell_h // 2 - 3, s, _AXIS)
     x = left
     for r, name in zip(rendered, names):
         cv.blit(x, top, r)
