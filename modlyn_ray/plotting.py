@@ -107,7 +107,7 @@ _TEXT = (20, 20, 20)
 
 def viridis(v: np.ndarray) -> np.ndarray:
     """Map values in [0, 1] -> uint8 RGB via the sampled viridis stops."""
-    v = np.clip(np.asarray(v, dtype=np.float64), 0.0, 1.0)
+    v = np.clip(np.nan_to_num(np.asarray(v, dtype=np.float64), nan=0.0), 0.0, 1.0)
     pos = v * (len(_VIRIDIS) - 1)
     lo = np.floor(pos).astype(np.int64)
     hi = np.minimum(lo + 1, len(_VIRIDIS) - 1)

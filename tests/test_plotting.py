@@ -81,6 +81,7 @@ def test_plot_heatmaps_shared_scale():
     rng = np.random.default_rng(3)
     a = pd.DataFrame(rng.uniform(0, 1, (4, 6)))
     a.iloc[0, 0] = 0.0
+    a.iloc[1, 1] = np.nan  # NaN cells render as vmin, never crash
     a.attrs["method_name"] = "m_lo"
     b = pd.DataFrame(rng.uniform(0, 1, (4, 6)))
     b.iloc[3, 5] = 5.0  # the GLOBAL max lives in frame b
