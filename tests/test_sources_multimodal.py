@@ -97,6 +97,22 @@ def test_wav_round_trip_exact_int16():
     np.testing.assert_array_equal((samples * 32768.0).astype(np.int16), pcm)
 
 
+def test_wav_full_scale_all_widths():
+    """A full-scale 1.0 sample must clip to the max PCM code, not wrap.
+
+    Regression: the width=4 quantizer used to clip in float32, where
+    2^31 - 1 rounds up to 2^31 and the int32 cast wraps to INT32_MIN."""
+    from modlyn_ray.stages import codecs
+
+    x = np.array([[1.0], [-1.0], [0.0]], dtype=np.float32)
+    for width, top in ((1, 127 / 128.0), (2, 32767 / 32768.0), (4, (2**31 - 1) / 2**31)):
+        samples, rate = codecs.decode_wav(codecs.encode_wav(x, 8000, width=width))
+        assert rate == 8000
+        assert samples[0, 0] == pytest.approx(top, abs=1e-9)
+        assert samples[1, 0] == -1.0
+        assert samples[2, 0] == pytest.approx(0.0, abs=1 / 127.0)
+
+
 def test_media_real_decode_end_to_end():
     from modlyn_ray.stages.multimodal import make_real_media
 
