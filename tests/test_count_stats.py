@@ -170,3 +170,48 @@ def test_dense_merge_matches_pairwise_merge():
     np.testing.assert_allclose(merged[1], 2.0 * np.bincount(
         np.searchsorted(merged[0], big["key"].to_numpy()), minlength=len(merged[0])
     ))
+
+
+def test_row_token_counts_property_vs_counter():
+    """_row_token_counts (both the padded-row-sort fast path and the packed
+    global-sort fallback) vs a per-row collections.Counter reference on
+    randomized ragged shapes — the branch taken depends on padding ratio,
+    matrix size, and value range, so shape randomization exercises every
+    combination (uint16 / int32 / fallback)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from modlyn_ray.stages.count_stats import _row_token_counts
+
+    @st.composite
+    def _ragged(draw):
+        n = draw(st.integers(0, 12))
+        lens = [draw(st.integers(0, 9)) for _ in range(n)]
+        # three regimes: tiny vocab (uint16 path), wide ids (int32 path),
+        # and huge ids (vmax guard -> fallback)
+        hi = draw(st.sampled_from([4, 2_000_000, 2**40]))
+        vals = [
+            [draw(st.integers(0, hi)) for _ in range(ln)] for ln in lens
+        ]
+        return lens, vals
+
+    @given(_ragged())
+    @settings(max_examples=60, deadline=None)
+    def check(data):
+        lens, vals = data
+        flat = np.asarray([v for row in vals for v in row], dtype=np.int64)
+        vmax = int(flat.max()) + 1 if len(flat) else 1
+        row_of, tok_of, c_rt = _row_token_counts(
+            flat, np.asarray(lens, dtype=np.int64), vmax
+        )
+        got = {(int(r), int(t)): int(c) for r, t, c in zip(row_of, tok_of, c_rt)}
+        want = {
+            (ri, tok): cnt
+            for ri, row in enumerate(vals)
+            for tok, cnt in Counter(row).items()
+        }
+        assert got == want
+
+    check()
