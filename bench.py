@@ -52,10 +52,24 @@ import sys
 import time
 
 
-def run_benchmark() -> dict:
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _init_ray_ctx(num_cpus: int | None = None) -> int:
+    """Shared ray.init + DataContext setup for every runner, so token-ops /
+    logreg / dedup timing rows are measured under the SAME shuffle strategy
+    and block sizing as the headline rows.
 
+    - Push-based sort shuffle by default: measured A/B on the 32M-row
+      corpus (pinned, interleaved, same session) — 56.6s vs 86.4s at
+      32 CPUs (-35%), ~equal at 8 CPUs (131 vs 141) — the map-side merge
+      pays off exactly where the bucket exchange hurts: high fan-out.
+      GRAFT_SHUFFLE=pull|hash restores the other strategies for A/B runs.
+    - read_op_min_num_blocks: Ray's default (200) splits reads into ~9k-row
+      blocks regardless of data size; fewer, larger blocks cut scheduling
+      overhead and give the pre-aggregation kernels full batches.
+    - GRAFT_TARGET_BLOCK_MB (judge r4 item 3): target_max_block_size lever
+      for the sort-shuffle exchange; unset keeps Ray's 128 MB default.
+    """
+    if num_cpus is None:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     import ray
 
     ray.init(
@@ -68,11 +82,6 @@ def run_benchmark() -> dict:
     import ray.data as rd
 
     ctx = rd.DataContext.get_current()
-    # Push-based sort shuffle: measured A/B on the 32M-row corpus (pinned,
-    # interleaved, same session) — 56.6s vs 86.4s at 32 CPUs (-35%), ~equal
-    # at 8 CPUs (131 vs 141) — the map-side merge that push-based shuffle
-    # adds pays off exactly where the bucket exchange hurts: high fan-out.
-    # GRAFT_SHUFFLE=pull|hash restores the other strategies for A/B runs.
     _strat = os.environ.get("GRAFT_SHUFFLE", "push")
     if _strat != "pull":
         from ray.data.context import ShuffleStrategy
@@ -83,15 +92,19 @@ def run_benchmark() -> dict:
             else ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
         )
     ctx.enable_progress_bars = False
-    # Ray's default (200) splits reads into ~9k-row blocks regardless of
-    # data size; fewer, larger blocks cut task-scheduling overhead and give
-    # the pre-aggregation kernels full batches.
     ctx.read_op_min_num_blocks = max(64, num_cpus * 2)
-    # shuffle block-size lever (judge r4 item 3): target_max_block_size in
-    # MB for the sort-shuffle exchange; unset keeps Ray's 128 MB default
     _blk = os.environ.get("GRAFT_TARGET_BLOCK_MB")
     if _blk:
         ctx.target_max_block_size = int(_blk) * 1024 * 1024
+    return num_cpus
+
+
+def run_benchmark() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    num_cpus = _init_ray_ctx()
+    import ray
+    import ray.data as rd
 
     from modlyn_ray import synth
     from modlyn_ray.pipelines.flagship import pit_features
@@ -457,27 +470,9 @@ def run_pit_ab() -> dict:
     (narrow int16 exchange) vs emit_tokens=False (tokens never shuffled;
     row_mix shipped pre-computed). The same-window pairwise comparison is
     the only controlled measurement on this shared box (BASELINE.md)."""
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-
+    num_cpus = _init_ray_ctx()
     import ray
-
-    ray.init(
-        address="local", num_cpus=num_cpus, include_dashboard=False,
-        ignore_reinit_error=True, logging_level="ERROR",
-    )
     import ray.data as rd
-
-    ctx = rd.DataContext.get_current()
-    from ray.data.context import ShuffleStrategy
-
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    ctx.enable_progress_bars = False
-    ctx.read_op_min_num_blocks = max(64, num_cpus * 2)
-    # shuffle block-size lever (judge r4 item 3): target_max_block_size in
-    # MB for the sort-shuffle exchange; unset keeps Ray's 128 MB default
-    _blk = os.environ.get("GRAFT_TARGET_BLOCK_MB")
-    if _blk:
-        ctx.target_max_block_size = int(_blk) * 1024 * 1024
 
     from modlyn_ray import synth
     from modlyn_ray.pipelines.flagship import pit_features
@@ -523,27 +518,9 @@ def run_exchange_ab() -> dict:
     encoding (flagship.py module comment) vs the legacy int64-wide
     encoding, at both emit_tokens variants. Same-window pairwise cycles —
     the only controlled comparison on this shared box (BASELINE.md)."""
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-
+    num_cpus = _init_ray_ctx()
     import ray
-
-    ray.init(
-        address="local", num_cpus=num_cpus, include_dashboard=False,
-        ignore_reinit_error=True, logging_level="ERROR",
-    )
     import ray.data as rd
-
-    ctx = rd.DataContext.get_current()
-    from ray.data.context import ShuffleStrategy
-
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    ctx.enable_progress_bars = False
-    ctx.read_op_min_num_blocks = max(64, num_cpus * 2)
-    # shuffle block-size lever (judge r4 item 3): target_max_block_size in
-    # MB for the sort-shuffle exchange; unset keeps Ray's 128 MB default
-    _blk = os.environ.get("GRAFT_TARGET_BLOCK_MB")
-    if _blk:
-        ctx.target_max_block_size = int(_blk) * 1024 * 1024
 
     from modlyn_ray import synth
     from modlyn_ray.pipelines.flagship import pit_features
@@ -592,16 +569,12 @@ def run_streaming_bench() -> dict:
     (stages/streaming.py process_ordered_stream): an ordered synthetic
     event log fed in drops through the hash-partitioned actor pool —
     per-key state carries across drops, throughput in rows/sec."""
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-
     import numpy as np
     import pyarrow as pa
+
+    num_cpus = _init_ray_ctx()
     import ray
 
-    ray.init(
-        address="local", num_cpus=num_cpus, include_dashboard=False,
-        ignore_reinit_error=True, logging_level="ERROR",
-    )
     from modlyn_ray.stages.streaming import process_ordered_stream
 
     rng = np.random.default_rng(17)
@@ -659,22 +632,13 @@ def run_dedup_bench() -> dict:
     8-word docs + 100 planted families of 3 near-identical variants).
     Measures the fully distributed path — banding, bucketed candidate
     pairs, vectorized exact-Jaccard verify, min-label propagation."""
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-
     import numpy as np
     import pyarrow as pa
-    import ray
 
-    ray.init(
-        address="local",
-        num_cpus=num_cpus,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
+    num_cpus = _init_ray_ctx()
+    import ray
     import ray.data as rd
 
-    rd.DataContext.get_current().enable_progress_bars = False
     from modlyn_ray.stages.dedup import minhash_lsh_dedup
 
     rng = np.random.default_rng(42)
@@ -722,17 +686,9 @@ def run_tokenops_bench() -> dict:
     attach paths x both emit_tokens variants — exposing what the packing
     exchange actually ships) and dedup_by_token_content (content-hash
     bucketed exact dedup)."""
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-
+    num_cpus = _init_ray_ctx()
     import ray
-
-    ray.init(
-        address="local", num_cpus=num_cpus, include_dashboard=False,
-        ignore_reinit_error=True, logging_level="ERROR",
-    )
     import ray.data as rd
-
-    rd.DataContext.get_current().enable_progress_bars = False
     from modlyn_ray import synth
     from modlyn_ray.stages.tokenops import dedup_by_token_content, pack_concat
 
@@ -810,17 +766,9 @@ def run_logreg_bench() -> dict:
     sparse gradient partials in map_batches against ray.put-broadcast
     weights, tree-reduced. Reports per-step wall time and row-visits/sec
     (rows x steps / total)."""
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-
+    num_cpus = _init_ray_ctx()
     import ray
-
-    ray.init(
-        address="local", num_cpus=num_cpus, include_dashboard=False,
-        ignore_reinit_error=True, logging_level="ERROR",
-    )
     import ray.data as rd
-
-    rd.DataContext.get_current().enable_progress_bars = False
     from modlyn_ray import synth
     from modlyn_ray.stages.logreg import LogRegConfig, fit_logreg_fullbatch
 

@@ -70,18 +70,18 @@ def _row_token_counts(flat: np.ndarray, lens: np.ndarray, vmax: int):
         return z, z, z
     Lmax = int(lens.max())
     padded = n * Lmax
+    fmin = int(flat.min())
+    if fmin < 0:
+        # token ids are vocab indices; a negative id would silently wrap on
+        # the narrow padded path AND break the row*vmax+tok packing's
+        # injectivity on the fallback path — fail loudly instead
+        raise ValueError(f"count_stats: negative token id {fmin} in batch")
     if vmax < np.iinfo(np.int32).max and padded <= 4 * total and padded <= (1 << 25):
         # uint16 when the vocab fits (token ids in [0, 65534)): the row
         # sort is memory-bandwidth-bound, so halving the element width
         # halves the kernel's dominant traffic (the stats phase's measured
         # scaling residual on the 32M-row corpus is exactly this kernel).
-        # The min() guard keeps any negative id on the wide path, where it
-        # stays a distinct value instead of wrapping.
-        dt = (
-            np.uint16
-            if vmax < np.iinfo(np.uint16).max and int(flat.min()) >= 0
-            else np.int32
-        )
+        dt = np.uint16 if vmax < np.iinfo(np.uint16).max else np.int32
         M = np.full((n, Lmax), vmax, dtype=dt)
         M[np.arange(Lmax) < lens[:, None]] = flat
         M.sort(axis=1)

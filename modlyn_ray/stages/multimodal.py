@@ -107,6 +107,17 @@ class MediaFeaturizer:
     def __init__(self, feature_dim: int = 16, decode: str = "fake"):
         if decode not in ("fake", "strict", "real"):
             raise ValueError(decode)
+        # fail at construction, not mid-batch: real features need a 5-wide
+        # image head + >=1 thumbnail bin; the fake path draws from a 32-byte
+        # sha256 digest (16 uint16 values max).
+        if decode == "real" and feature_dim < 6:
+            raise ValueError(
+                f"decode='real' needs feature_dim >= 6, got {feature_dim}"
+            )
+        if not 1 <= feature_dim <= 16 and decode == "fake":
+            raise ValueError(
+                f"decode='fake' needs 1 <= feature_dim <= 16, got {feature_dim}"
+            )
         self.decode = decode
         self.dim = feature_dim
         try:  # a full decoder (video containers etc.) would load here
@@ -148,8 +159,13 @@ class MediaFeaturizer:
         rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
         zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
         k = self.dim - 4
-        edges = np.linspace(0, max(n, 1), k + 1).astype(np.int64)
-        env = np.add.reduceat(np.abs(mono), edges[:-1]) / np.maximum(np.diff(edges), 1)
+        if n == 0:  # zero-frame PCM is valid WAV; emit an all-zero envelope
+            env = np.zeros(k, dtype=np.float32)
+        else:
+            edges = np.linspace(0, n, k + 1).astype(np.int64)
+            env = np.add.reduceat(np.abs(mono), edges[:-1]) / np.maximum(
+                np.diff(edges), 1
+            )
         head = np.array(
             [np.log1p(n / max(rate, 1)), float(ch), rms, zcr], dtype=np.float32
         )

@@ -49,15 +49,88 @@ def _list_parts(col) -> tuple[np.ndarray, np.ndarray, pa.Array]:
 
 
 def _composite_key(group_col, key_col) -> pa.Array:
-    """Group-qualified key: cast both to string and join with an unlikely
-    separator, using the same Arrow kernels on every side of a lookup so
-    the rendered strings always agree."""
+    """Group-qualified key: cast both to string and join, length-prefixing
+    the group part so a separator character INSIDE a group/key value can't
+    make distinct (group, key) pairs render identically (('a\\x1fb','c') vs
+    ('a','b\\x1fc')). Uses the same Arrow kernels on every side of a lookup
+    so the rendered strings always agree."""
     parts = []
     for col in (group_col, key_col):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         parts.append(pc.cast(col, pa.string()))
-    return pc.binary_join_element_wise(parts[0], parts[1], "\x1f")
+    glen = pc.cast(pc.utf8_length(parts[0]), pa.string())
+    return pc.binary_join_element_wise(glen, parts[0], parts[1], "\x1f")
+
+
+def _packed_key_factory(index, group_col, key_col, max_groups=1 << 20):
+    """Exact int64 (group, key) encoder for the shuffle offset-attach, or
+    None when packing can't be proven collision-free.
+
+    Ships ~8 B/row through the bucketed exchange instead of a rendered
+    'group\\x1fkey' string (20+ B/row, twice — left and offset side). One
+    cheap projected pass over the doc index collects the distinct groups
+    and global key bounds; the packed key is gcode * span + (key - kmin),
+    which is exact (not a hash) whenever n_groups * span fits in int64.
+    Falls back (returns None) for string keys, > ``max_groups`` distinct
+    groups, or a group x key-range product that would overflow.
+    """
+    ktype = dict(zip(index.schema().names, index.schema().types))[key_col]
+    if not (pa.types.is_integer(ktype) or pa.types.is_temporal(ktype)):
+        return None
+
+    def batch_stats(b: pa.Table) -> pa.Table:
+        g = b[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        u = pc.unique(pc.cast(g, pa.string()))
+        k = pc.cast(b[key_col], pa.int64())
+        kmin, kmax = pc.min(k).as_py(), pc.max(k).as_py()
+        n = len(u)
+        return pa.table(
+            {
+                "g": u,
+                "kmin": pa.array([kmin] * n, type=pa.int64()),
+                "kmax": pa.array([kmax] * n, type=pa.int64()),
+            }
+        )
+
+    st = (
+        index.select_columns([group_col, key_col])
+        .map_batches(batch_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    if len(st) == 0:
+        return None
+    groups = np.sort(st["g"].unique())
+    if len(groups) > max_groups:
+        return None
+    kmin, kmax = int(st["kmin"].min()), int(st["kmax"].max())
+    span = kmax - kmin + 1
+    if span <= 0 or len(groups) > (2**62) // span:  # would overflow int64
+        return None
+    gvals = pa.array(groups, type=pa.string())
+    ref = ray.put((gvals, kmin, span))
+
+    def packed(b: pa.Table) -> pa.Array:
+        gv, kmn, sp = ray.get(ref)
+        g = b[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gcode = pc.index_in(pc.cast(g, pa.string()), value_set=gv)
+        if gcode.null_count:
+            raise ValueError(
+                f"pack_concat: {group_col!r} value missing from the doc-index "
+                "group dictionary — index and data passes disagree"
+            )
+        gc = gcode.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        karr = pc.cast(b[key_col], pa.int64())
+        if karr.null_count:
+            raise ValueError(f"pack_concat: null {key_col!r} in packed-key attach")
+        k = karr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return pa.array(gc * sp + (k - kmn))
+
+    return packed
 
 
 def chunk_sequences(
@@ -282,8 +355,13 @@ def pack_concat(
         # distributed prefix sum over the doc index via the engine's own
         # bucket-windowed machinery (key_col must be integer/timestamp
         # ordered on this path), then a bucketed hash join attaches offsets
-        # keyed on the (group, key) composite so a key reused across groups
-        # matches only its own group's offset row
+        # keyed on the (group, key) pair so a key reused across groups
+        # matches only its own group's offset row. The pair is encoded as
+        # an exact packed int64 when provable collision-free (8 B/row on
+        # the exchange), else as the length-prefixed string composite.
+        make_key = _packed_key_factory(index, group_col, key_col)
+        if make_key is None:
+            make_key = lambda b: _composite_key(b[group_col], b[key_col])  # noqa: E731
         widx = windowize(
             index,
             prefix_sum_cols=["n_tok"],
@@ -295,7 +373,7 @@ def pack_concat(
         gs = widx.map_batches(
             lambda b: pa.table(
                 {
-                    "__gk": _composite_key(b[group_col], b[key_col]),
+                    "__gk": make_key(b),
                     "__gstart": pc.subtract(b["cum_n_tok"], pc.cast(b["n_tok"], pa.int64())),
                 }
             ),
@@ -304,7 +382,7 @@ def pack_concat(
         )
         left = ds.map_batches(
             lambda b: b.append_column(
-                "__gk", _composite_key(b[group_col], b[key_col])
+                "__gk", make_key(b)
             ).replace_schema_metadata(None),
             batch_format="pyarrow",
             zero_copy_batch=True,

@@ -118,3 +118,69 @@ def test_compact_exchange_preserves_null_attr_val(ray_session):
     # token passthrough stays byte-identical
     assert [list(t) for t in out["tokens"]] == [[1, 2], [3], [4, 5, 6]]
     assert row_mix_values(pa.array([[1, 2]], type=pa.list_(pa.int32()))).dtype == np.int64
+
+
+# ---- post-review regressions (round-5 code-review findings) ----
+
+
+def test_audio_features_zero_frame_wav_real_decode(ray_session):
+    """A structurally valid zero-frame PCM WAV must featurize to a clean
+    all-zero envelope, not kill the actor batch with an IndexError."""
+    from modlyn_ray.stages import codecs
+    from modlyn_ray.stages.multimodal import MediaFeaturizer
+
+    payload = codecs.encode_wav(np.zeros((0, 2), dtype=np.float32), 8000)
+    batch = pa.table(
+        {
+            "media_id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["audio"]),
+            "payload": pa.array([payload], type=pa.binary()),
+            "meta_w": pa.array([8000], type=pa.int32()),
+            "meta_h": pa.array([2], type=pa.int32()),
+        }
+    )
+    out = MediaFeaturizer(feature_dim=8, decode="real")(batch)
+    feats = np.asarray(out["features"][0].as_py(), dtype=np.float32)
+    assert feats.shape == (8,)
+    assert np.isfinite(feats).all()
+    assert feats[0] == 0.0  # log1p(duration=0)
+    assert (feats[4:] == 0.0).all()  # empty envelope bins
+
+
+def test_media_featurizer_validates_feature_dim():
+    from modlyn_ray.stages.multimodal import MediaFeaturizer
+
+    with pytest.raises(ValueError, match="feature_dim >= 6"):
+        MediaFeaturizer(feature_dim=4, decode="real")
+    with pytest.raises(ValueError, match="1 <= feature_dim <= 16"):
+        MediaFeaturizer(feature_dim=20, decode="fake")
+    MediaFeaturizer(feature_dim=6, decode="real")  # boundary constructs
+
+
+def test_row_token_counts_rejects_negative_ids():
+    """Negative token ids would silently wrap on the narrow padded path and
+    break row*vmax+tok injectivity on the fallback — must raise loudly."""
+    from modlyn_ray.stages.count_stats import _row_token_counts
+
+    flat = np.asarray([-(2**40), 5, 5], dtype=np.int64)
+    lens = np.asarray([3], dtype=np.int64)
+    with pytest.raises(ValueError, match="negative token id"):
+        _row_token_counts(flat, lens, 6)
+    # tiny negative on the would-be uint16 path raises too
+    with pytest.raises(ValueError, match="negative token id"):
+        _row_token_counts(np.asarray([-1, 2], np.int64), np.asarray([2], np.int64), 3)
+
+
+def test_composite_key_separator_injection():
+    """('a\\x1fb','c') and ('a','b\\x1fc') must render DIFFERENT composites
+    (the length prefix disambiguates a separator inside a value)."""
+    from modlyn_ray.stages.tokenops import _composite_key
+
+    g = pa.array(["a\x1fb", "a"])
+    k = pa.array(["c", "b\x1fc"])
+    out = _composite_key(g, k).to_pylist()
+    assert out[0] != out[1]
+    # equal pairs still render equal across chunked/plain layouts
+    gc = pa.chunked_array([["a\x1fb"], []])
+    kc = pa.chunked_array([["c"], []])
+    assert _composite_key(gc, kc).to_pylist()[0] == out[0]

@@ -406,3 +406,68 @@ def test_pack_concat_shuffle_path_rejects_duplicate_keys(ray_session):
         pack_concat(
             rd.from_arrow(tbl), 4, n_buckets=2, offsets_via="shuffle"
         ).to_pandas()
+
+
+def test_packed_key_factory_exact_and_fallbacks(ray_session):
+    from modlyn_ray.stages.tokenops import _packed_key_factory
+
+    tbl = pa.table(
+        {
+            "source": pa.array(["s1", "s0", "s1", "s0"]),
+            "doc_id": pa.array([-5, 7, 7, -5], type=pa.int64()),
+            "n_tok": pa.array([1, 1, 1, 1], type=pa.int32()),
+        }
+    )
+    mk = _packed_key_factory(rd.from_arrow(tbl), "source", "doc_id")
+    assert mk is not None
+    keys = mk(tbl).to_pylist()
+    # all four (group, key) pairs are distinct -> four distinct packed ints
+    assert len(set(keys)) == 4
+    # deterministic across calls / batch layouts
+    assert mk(tbl.slice(2, 2)).to_pylist() == keys[2:]
+
+    # string keys can't pack -> None
+    stbl = pa.table(
+        {
+            "source": pa.array(["s0"]),
+            "doc_id": pa.array(["d0"]),
+            "n_tok": pa.array([1], type=pa.int32()),
+        }
+    )
+    assert _packed_key_factory(rd.from_arrow(stbl), "source", "doc_id") is None
+
+    # a group x key-span product that would overflow int64 -> None
+    wide = pa.table(
+        {
+            "source": pa.array(["s0", "s1", "s2", "s3"]),
+            "doc_id": pa.array([0, 2**62, 1, 2], type=pa.int64()),
+            "n_tok": pa.array([1, 1, 1, 1], type=pa.int32()),
+        }
+    )
+    assert _packed_key_factory(rd.from_arrow(wide), "source", "doc_id") is None
+
+
+def test_pack_concat_shuffle_negative_keys_matches_broadcast(ray_session):
+    """kmin < 0 exercises the (key - kmin) rebase in the packed-int64
+    shuffle attach; both attach paths must agree exactly."""
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    rng = np.random.default_rng(23)
+    df, tbl = _mk_seqs(rng, n_rows=90, int_keys=True)
+    neg = pa.array((df["doc_id"].to_numpy() * 3 - 500).astype(np.int64))
+    tbl = tbl.set_column(tbl.schema.get_field_index("doc_id"), "doc_id", neg)
+
+    def norm(p):
+        return (
+            p.sort_values(["source", "pack_no"]).reset_index(drop=True)
+        )
+
+    base = norm(
+        pack_concat(rd.from_arrow(tbl), 25, n_buckets=8, emit_tokens=False).to_pandas()
+    )
+    shuf = norm(
+        pack_concat(
+            rd.from_arrow(tbl), 25, n_buckets=8, offsets_via="shuffle", emit_tokens=False
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(base, shuf)
