@@ -281,7 +281,10 @@ def pack_concat(
        ``offsets_via="broadcast"`` ships the doc index once via ``ray.put``
        (right shape for a small-side index, but DRIVER-RESIDENT — ~30 B/doc
        at the driver); ``"shuffle"`` routes through the bucketed hash join
-       and never materializes the index in one place.  The default
+       and never materializes the index in one place, keying the join on
+       an exact packed int64 (gcode * key_span + key) whenever one cheap
+       index pass proves it collision-free, else on the length-prefixed
+       string composite.  The default
        ``"auto"`` counts the index (one cheap projected pass) and picks
        broadcast at or below ``broadcast_max_docs`` (default 1e7 docs ~
        300 MB at the driver), shuffle above — pass ``offsets_via``
