@@ -95,17 +95,25 @@ def _packed_key_factory(index, group_col, key_col, max_groups=1 << 20):
             }
         )
 
-    st = (
+    from ray.data.aggregate import Max, Min
+
+    # per-batch (unique groups, key bounds) partials, merged by a small
+    # DISTRIBUTED groupby — the driver never sees more than max_groups + 1
+    # rows (limit before take_all), so a huge-group-cardinality input hits
+    # the string-composite fallback instead of a driver OOM
+    rows = (
         index.select_columns([group_col, key_col])
         .map_batches(batch_stats, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        .groupby("g")
+        .aggregate(Min("kmin", alias_name="kmin"), Max("kmax", alias_name="kmax"))
+        .limit(max_groups + 1)
+        .take_all()
     )
-    if len(st) == 0:
+    if not rows or len(rows) > max_groups:
         return None
-    groups = np.sort(st["g"].unique())
-    if len(groups) > max_groups:
-        return None
-    kmin, kmax = int(st["kmin"].min()), int(st["kmax"].max())
+    groups = np.sort(np.asarray([r["g"] for r in rows], dtype=object))
+    kmin = int(min(r["kmin"] for r in rows))
+    kmax = int(max(r["kmax"] for r in rows))
     span = kmax - kmin + 1
     if span <= 0 or len(groups) > (2**62) // span:  # would overflow int64
         return None
