@@ -265,6 +265,7 @@ def pack_concat(
     offsets_via: str = "auto",
     broadcast_max_docs: int = 10_000_000,
     max_bucket_tokens: int = _MAX_BUCKET_TOKENS,
+    packed_keys: bool = True,
 ) -> Dataset:
     """Concat-and-chunk packing: within each ``group_col``, order rows by
     ``key_col`` (must be unique WITHIN its group — both attach paths key
@@ -370,7 +371,11 @@ def pack_concat(
         # matches only its own group's offset row. The pair is encoded as
         # an exact packed int64 when provable collision-free (8 B/row on
         # the exchange), else as the length-prefixed string composite.
-        make_key = _packed_key_factory(index, group_col, key_col)
+        # packed_keys=False forces the string-composite encoding (A/B lever
+        # for measuring the exchange-payload cut; semantics identical)
+        make_key = (
+            _packed_key_factory(index, group_col, key_col) if packed_keys else None
+        )
         if make_key is None:
             make_key = lambda b: _composite_key(b[group_col], b[key_col])  # noqa: E731
         widx = windowize(

@@ -471,3 +471,13 @@ def test_pack_concat_shuffle_negative_keys_matches_broadcast(ray_session):
         ).to_pandas()
     )
     pd.testing.assert_frame_equal(base, shuf)
+
+    # the packed_keys=False A/B lever (string-composite encoding) is
+    # semantically identical
+    strk = norm(
+        pack_concat(
+            rd.from_arrow(tbl), 25, n_buckets=8, offsets_via="shuffle",
+            emit_tokens=False, packed_keys=False,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(base, strk)
