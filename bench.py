@@ -706,30 +706,42 @@ def run_tokenops_bench() -> dict:
 
     # seq_no is the globally unique int64 row id in every synth profile —
     # the right packing key (doc_id repeats across a doc's sequences)
-    def pack(via: str, emit: bool):
+    def pack(via: str, emit: bool, packed: bool = True):
         return pack_concat(
             read(), C, group_col="source", key_col="seq_no",
             emit_tokens=emit, n_buckets=n_buckets, offsets_via=via,
+            packed_keys=packed,
         )
 
+    # variants interleaved per round (same-window pairwise, the only
+    # controlled comparison on this shared box): the stringkey variant is
+    # the packed-int64-vs-string-composite join-key A/B on the shuffle
+    # attach — semantics identical (tests/test_tokenops.py)
+    variants = [
+        ("pack_concat_shuffle_tokens", "shuffle", True, True),
+        ("pack_concat_shuffle_counts", "shuffle", False, True),
+        ("pack_concat_shuffle_stringkey_counts", "shuffle", False, False),
+        ("pack_concat_broadcast_tokens", "broadcast", True, True),
+        ("pack_concat_broadcast_counts", "broadcast", False, True),
+    ]
     results: dict[str, dict] = {}
     pack(os.environ.get("GRAFT_PACK_WARM_VIA", "shuffle"), True).count()  # warmup
-    for via in ("shuffle", "broadcast"):
-        for emit in (True, False):
-            rounds = []
-            out_rows = 0
-            for _ in range(n_rounds):
-                t0 = time.perf_counter()
-                out_rows = pack(via, emit).count()
-                rounds.append(round(time.perf_counter() - t0, 3))
-            best = min(rounds)
-            results[f"pack_concat_{via}_{'tokens' if emit else 'counts'}"] = {
-                "sec": best,
-                "rounds": rounds,
-                "out_packs": out_rows,
-                "seqs_per_sec": round(n_rows / best, 1),
-                "tokens_per_sec": round(n_tokens / best, 1),
-            }
+    per: dict[str, list] = {name: [] for name, *_ in variants}
+    out_packs: dict[str, int] = {}
+    for _ in range(n_rounds):
+        for name, via, emit, packed in variants:
+            t0 = time.perf_counter()
+            out_packs[name] = pack(via, emit, packed).count()
+            per[name].append(round(time.perf_counter() - t0, 3))
+    for name, *_ in variants:
+        best = min(per[name])
+        results[name] = {
+            "sec": best,
+            "rounds": per[name],
+            "out_packs": out_packs[name],
+            "seqs_per_sec": round(n_rows / best, 1),
+            "tokens_per_sec": round(n_tokens / best, 1),
+        }
 
     dedup_rounds = []
     kept = 0
