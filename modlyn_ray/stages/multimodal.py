@@ -114,9 +114,11 @@ class MediaFeaturizer:
             raise ValueError(
                 f"decode='real' needs feature_dim >= 6, got {feature_dim}"
             )
-        if not 1 <= feature_dim <= 16 and decode == "fake":
+        # strict falls through to the fake path when PIL is importable, so
+        # it shares the digest-width bound
+        if decode in ("fake", "strict") and not 1 <= feature_dim <= 16:
             raise ValueError(
-                f"decode='fake' needs 1 <= feature_dim <= 16, got {feature_dim}"
+                f"decode={decode!r} needs 1 <= feature_dim <= 16, got {feature_dim}"
             )
         self.decode = decode
         self.dim = feature_dim

@@ -83,8 +83,16 @@ def _packed_key_factory(index, group_col, key_col, max_groups=1 << 20):
         g = b[group_col]
         if isinstance(g, pa.ChunkedArray):
             g = g.combine_chunks()
-        u = pc.unique(pc.cast(g, pa.string()))
         k = pc.cast(b[key_col], pa.int64())
+        if g.null_count or k.null_count:
+            # the offset attach cannot address a null (group, key) on ANY
+            # encoding (the string composite renders null and the inner
+            # join would silently drop the row) — fail loudly up front
+            raise ValueError(
+                f"pack_concat: null {group_col!r}/{key_col!r} values are not "
+                "packable — drop or fill them upstream"
+            )
+        u = pc.unique(pc.cast(g, pa.string()))
         kmin, kmax = pc.min(k).as_py(), pc.max(k).as_py()
         n = len(u)
         return pa.table(
@@ -313,6 +321,12 @@ def pack_concat(
         raise ValueError(f"context_len must be >= 1, got {context_len}")
 
     index = ds.select_columns([group_col, key_col, "n_tok"])
+    if offsets_via in ("auto", "shuffle"):
+        # these paths read the index 2-3 times (count / packed-key stats /
+        # windowize); materialize the 3-narrow-column projection ONCE
+        # (distributed, object-store resident) so an expensive upstream
+        # pipeline isn't re-executed per pass
+        index = index.materialize()
 
     if offsets_via == "auto":
         n_docs = index.count()
@@ -377,7 +391,17 @@ def pack_concat(
             _packed_key_factory(index, group_col, key_col) if packed_keys else None
         )
         if make_key is None:
-            make_key = lambda b: _composite_key(b[group_col], b[key_col])  # noqa: E731
+
+            def make_key(b):
+                k = _composite_key(b[group_col], b[key_col])
+                if k.null_count:
+                    # a null composite would be silently dropped by the
+                    # inner offset join — missing rows, not an error
+                    raise ValueError(
+                        f"pack_concat: null {group_col!r}/{key_col!r} values "
+                        "are not packable — drop or fill them upstream"
+                    )
+                return k
         widx = windowize(
             index,
             prefix_sum_cols=["n_tok"],

@@ -184,3 +184,13 @@ def test_composite_key_separator_injection():
     gc = pa.chunked_array([["a\x1fb"], []])
     kc = pa.chunked_array([["c"], []])
     assert _composite_key(gc, kc).to_pylist()[0] == out[0]
+
+
+def test_media_featurizer_strict_shares_digest_bound():
+    """strict falls through to the fake path when PIL is importable, so it
+    must share the 16-wide digest bound at construction."""
+    from modlyn_ray.stages.multimodal import MediaFeaturizer
+
+    with pytest.raises(ValueError, match="1 <= feature_dim <= 16"):
+        MediaFeaturizer(feature_dim=20, decode="strict")
+    MediaFeaturizer(feature_dim=16, decode="strict")  # boundary constructs

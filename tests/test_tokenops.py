@@ -481,3 +481,69 @@ def test_pack_concat_shuffle_negative_keys_matches_broadcast(ray_session):
         ).to_pandas()
     )
     pd.testing.assert_frame_equal(base, strk)
+
+
+def test_pack_concat_shuffle_rejects_null_keys_both_encodings(ray_session):
+    """Null (group, key) values must raise loudly on the shuffle attach —
+    the string-composite encoding's inner join would silently DROP them."""
+    import pytest
+
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, None, 3], type=pa.int64()),
+            "source": pa.array(["s0", "s0", "s1"]),
+            "tokens": pa.array([[1, 2], [3], [4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1, 1], pa.int32()),
+        }
+    )
+    for packed in (True, False):
+        with pytest.raises(Exception, match="not packable"):
+            pack_concat(
+                rd.from_arrow(tbl), 4, n_buckets=2,
+                offsets_via="shuffle", packed_keys=packed,
+            ).to_pandas()
+    ntbl = tbl.set_column(
+        tbl.schema.get_field_index("source"),
+        "source",
+        pa.array(["s0", None, "s1"]),
+    )
+    with pytest.raises(Exception, match="not packable"):
+        pack_concat(
+            rd.from_arrow(ntbl), 4, n_buckets=2, offsets_via="shuffle"
+        ).to_pandas()
+
+
+def test_pack_concat_materializes_index_once(ray_session):
+    """The shuffle path's 2-3 index reads must hit a materialized snapshot,
+    not re-execute the upstream pipeline per pass."""
+    import ray as _ray
+
+    from modlyn_ray.stages.tokenops import pack_concat
+
+    counter = _ray.remote(
+        type("C", (), {
+            "__init__": lambda self: setattr(self, "n", 0),
+            "bump": lambda self: setattr(self, "n", self.n + 1),
+            "get": lambda self: self.n,
+        })
+    ).remote()
+
+    rng = np.random.default_rng(31)
+    _, tbl = _mk_seqs(rng, n_rows=60, int_keys=True)
+
+    def spy(b: pa.Table) -> pa.Table:
+        _ray.get(counter.bump.remote())
+        return b
+
+    ds = rd.from_arrow(tbl).map_batches(
+        spy, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pack_concat(ds, 25, n_buckets=4, offsets_via="shuffle", emit_tokens=False).to_pandas()
+    upstream_runs = _ray.get(counter.get.remote())
+    # one pass to materialize the index, one for the full-row attach side,
+    # plus the join's schema probe (ONE block — the whole pipeline here
+    # because the fixture is single-block); without the materialize the
+    # stats and windowize passes each re-run upstream too (4+)
+    assert upstream_runs <= 3, upstream_runs
