@@ -41,7 +41,18 @@ from modlyn_ray.util import dict_decode_batch, dict_encode_batch
 
 
 def _arrow_schema(ds: Dataset) -> pa.Schema:
-    return ds.schema().base_schema
+    # pandas-backed blocks report a PandasBlockSchema whose .types are
+    # numpy dtypes; probe through an arrow-converting no-op (same one-block
+    # cost as schema() itself) to get the real Arrow schema
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return (
+        ds.map_batches(lambda b: b, batch_format="pyarrow")
+        .schema()
+        .base_schema
+    )
 
 
 def _combined(col) -> pa.Array:

@@ -71,9 +71,11 @@ def add_bucket_column(
     crc32 is stable across processes (unlike Python's seeded str hash), so
     co-partitioning two datasets by calling this on both sides is safe.
     ``heavy`` maps known heavy keys to dedicated bucket ids >= n_buckets so a
-    hot doc_id never shares a shuffle partition (skew-splitting).
+    hot doc_id never shares a shuffle partition (skew-splitting). Keys are
+    matched by their string rendering (the bucket kernel stringifies the
+    per-batch dictionary), so int/str heavy maps both route correctly.
     """
-    heavy = heavy or {}
+    heavy = {str(k): v for k, v in (heavy or {}).items()}
 
     def bucketize(batch: pa.Table) -> pa.Table:
         col = batch[key]
@@ -145,7 +147,9 @@ def detect_heavy_keys(
     uniq, inv = np.unique(kcol, return_inverse=True)
     sums = np.bincount(inv, weights=ncol.astype(np.float64))
     heavy = uniq[sums / total >= threshold_frac]
-    return {k: n_buckets + i for i, k in enumerate(sorted(heavy))}
+    # stringified keys: the bucket kernel matches on the string rendering
+    # of the per-batch dictionary, so int64 keys route correctly too
+    return {str(k): n_buckets + i for i, k in enumerate(sorted(heavy))}
 
 
 # ---------------------------------------------------------------------------
@@ -154,6 +158,13 @@ def detect_heavy_keys(
 def _ts_int(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # a null timestamp would view as INT64_MIN and silently wrap the
+        # gap / rolling-bound arithmetic downstream — fail loudly instead
+        raise ValueError(
+            "temporal: null timestamps are not orderable — drop or fill "
+            "them upstream"
+        )
     return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
 
 
@@ -161,7 +172,13 @@ def _doc_codes(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     d = col.dictionary_encode()
-    return d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # SQL window semantics: NULL partition keys form ONE partition. Route
+    # nulls to an explicit sentinel code (-1, disjoint from real codes >= 0)
+    # instead of relying on the NaN -> INT64_MIN cast coincidence (which
+    # also emitted a RuntimeWarning per bucket).
+    return (
+        d.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
 
 
 def windowize(
@@ -379,11 +396,18 @@ def window_kernel(
 # as-of join
 # ---------------------------------------------------------------------------
 def _arrow_schema(ds: Dataset) -> pa.Schema:
+    # pandas-backed blocks report a PandasBlockSchema whose .types are
+    # numpy dtypes (pa.field would reject them); probe through an
+    # arrow-converting no-op to get the real Arrow schema
     s = ds.schema()
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
-    return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+    return (
+        ds.map_batches(lambda b: b, batch_format="pyarrow")
+        .schema()
+        .base_schema
+    )
 
 
 def asof_join(
@@ -416,6 +440,14 @@ def asof_join(
     l_schema = _arrow_schema(left)
     r_schema = _arrow_schema(right)
     lcols = list(l_schema.names)
+    clash = set(value_cols) & set(lcols)
+    if clash:
+        # a colliding name would duplicate a column on the padded left side
+        # and collapse on the right — fail up front like hash_equi_join
+        raise ValueError(
+            f"asof_join: value_cols clash with left schema: {sorted(clash)} "
+            "— rename upstream with a map_batches projection"
+        )
     vtypes = {c: r_schema.field(c).type for c in value_cols}
     union_cols = lcols + value_cols  # value cols are null on the left side
 
@@ -509,41 +541,55 @@ def asof_kernel(
         }
     ).sort_values("ts", kind="stable")
     rts = _ts_int(rtbl[ts_col])
+    # Tie-break among equal right timestamps: greatest value tuple wins
+    # (merge_asof picks the LAST row in frame order). Only orderable
+    # (non-nested) value columns participate in the sort — token lists
+    # ride along via the Arrow take below and never enter pandas — and
+    # nulls sort FIRST so a real value always beats a NULL at a tied
+    # timestamp (matching SQL max(), which ignores nulls).
+    sortable = [c for c in value_cols if not pa.types.is_nested(vtypes[c])]
     rdata = {
         "doc": codes[nl:],
         "ts": rts,
-        "__rts": rts,  # carried payload: the matched right timestamp
+        "ridx": np.arange(nr, dtype=np.int64),
     }
-    for c in value_cols:
+    for c in sortable:
         rdata[c] = rtbl[c].combine_chunks().to_pandas()
-    rf = pd.DataFrame(rdata)
-    # deterministic tie-break among equal right timestamps: greatest
-    # value tuple wins (merge_asof picks the last row in frame order)
-    rf = rf.sort_values(["ts", *value_cols], kind="stable")
+    rf = pd.DataFrame(rdata).sort_values(
+        ["ts", *sortable], kind="stable", na_position="first"
+    )
     merged = pd.merge_asof(
         lf,
-        rf,
+        rf[["doc", "ts", "ridx"]],
         on="ts",
         by="doc",
         direction="backward",
         allow_exact_matches=not strict,
     )
     back = np.argsort(merged["idx"].to_numpy(), kind="stable")
-    merged = merged.iloc[back]
+    # unmatched rows surface as NaN in the float64 ridx round-trip; row
+    # positions are far below 2^53, so matched indices stay exact — the
+    # value payload itself is gathered in Arrow (null indices -> null
+    # output), so int64/list/decimal values never lose precision or type
+    ridx = merged["ridx"].to_numpy()[back]
+    matched = ~np.isnan(ridx)
+    take = pa.array(
+        np.where(matched, ridx, 0).astype(np.int64), mask=~matched
+    )
     out = ltbl
     for c in value_cols:
-        out = out.append_column(
-            f"{c}{suffix}", pa.array(merged[c], type=vtypes[c], from_pandas=True)
-        )
-    mts = merged["__rts"].astype("float64").to_numpy()
-    mts_arr = pa.array(
-        np.where(np.isnan(mts), 0, mts).astype(np.int64), type=pa.timestamp("us")
-    )
-    valid = pa.array(~np.isnan(mts))
-    import pyarrow.compute as pc
-
+        col = rtbl[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        taken = col.take(take)
+        if taken.type != vtypes[c]:  # e.g. exchange-dict-encoded payloads
+            taken = taken.cast(vtypes[c])
+        out = out.append_column(f"{c}{suffix}", taken)
+    mcol = rtbl[ts_col]
+    if isinstance(mcol, pa.ChunkedArray):
+        mcol = mcol.combine_chunks()
     return out.append_column(
-        f"matched{suffix}_ts", pc.if_else(valid, mts_arr, pa.scalar(None, pa.timestamp("us")))
+        f"matched{suffix}_ts", mcol.cast(pa.timestamp("us")).take(take)
     )
 
 
@@ -595,6 +641,12 @@ def range_join(
     l_schema = _arrow_schema(left)
     r_schema = _arrow_schema(right)
     lcols = list(l_schema.names)
+    clash = set(value_cols) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"range_join: value_cols clash with left schema: {sorted(clash)} "
+            "— rename upstream with a map_batches projection"
+        )
     vtypes = {c: r_schema.field(c).type for c in value_cols}
     union_cols = lcols + value_cols
 

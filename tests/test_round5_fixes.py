@@ -3,6 +3,7 @@ fused PIT shuffle must be byte-identical to the legacy encoding, exact on
 adversarial bit patterns, and loud on every documented bound."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -194,3 +195,158 @@ def test_media_featurizer_strict_shares_digest_bound():
     with pytest.raises(ValueError, match="1 <= feature_dim <= 16"):
         MediaFeaturizer(feature_dim=20, decode="strict")
     MediaFeaturizer(feature_dim=16, decode="strict")  # boundary constructs
+
+
+# ---- second-review fixes: temporal/joins hardening ----
+
+
+def _ts(us):
+    return pa.array(us, type=pa.timestamp("us"))
+
+
+def test_asof_tiebreak_null_value_loses_to_real(ray_session):
+    """At a tied right timestamp, a NULL value must lose to a real value
+    (SQL max() ignores nulls) — nulls sort first in the tie-break."""
+    import ray.data as rd
+
+    from modlyn_ray.stages.temporal import asof_join
+
+    left = pa.table({"doc_id": ["u1"], "ingest_ts": _ts([100]), "seq_no": pa.array([0], pa.int64())})
+    right = pa.table(
+        {
+            "doc_id": ["u1", "u1"],
+            "ingest_ts": _ts([10, 10]),
+            "attr_val": pa.array([None, 5.0], type=pa.float64()),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), value_cols=["attr_val"], n_buckets=2
+    ).to_pandas()
+    assert out["attr_val_asof"].tolist() == [5.0]
+
+
+def test_asof_list_value_cols_and_int64_precision(ray_session):
+    """List-typed value columns ride the Arrow take (never pandas), and
+    int64 values survive exactly even when other rows are unmatched."""
+    import ray.data as rd
+
+    from modlyn_ray.stages.temporal import asof_join
+
+    big = 9007199254740993  # 2**53 + 1: corrupted by a float64 round-trip
+    left = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "ingest_ts": _ts([100, 100]),
+            "seq_no": pa.array([0, 1], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "doc_id": ["a"],  # doc b unmatched -> forces the NaN path
+            "ingest_ts": _ts([50]),
+            "ref_id": pa.array([big], pa.int64()),
+            "toks": pa.array([[1, 2, 3]], pa.list_(pa.int32())),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        value_cols=["ref_id", "toks"], n_buckets=2,
+    ).take_batch(10, batch_format="pyarrow")
+    # (arrow consumption: Ray's to_pandas tensor extension rejects a ragged
+    # list column holding a null — the join output itself is fine)
+    rows = {d: i for i, d in enumerate(out["doc_id"].to_pylist())}
+    assert out["ref_id_asof"][rows["a"]].as_py() == big
+    assert out["toks_asof"][rows["a"]].as_py() == [1, 2, 3]
+    assert out["ref_id_asof"][rows["b"]].as_py() is None
+
+
+def test_asof_rejects_value_col_clash(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.temporal import asof_join, range_join
+
+    left = pa.table({"doc_id": ["a"], "ingest_ts": _ts([1]), "attr_val": pa.array([1.0])})
+    right = pa.table({"doc_id": ["a"], "ingest_ts": _ts([1]), "attr_val": pa.array([2.0])})
+    with pytest.raises(ValueError, match="clash with left schema"):
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), value_cols=["attr_val"])
+    with pytest.raises(ValueError, match="clash with left schema"):
+        range_join(rd.from_arrow(left), rd.from_arrow(right), value_cols=["attr_val"])
+
+
+def test_windowize_rejects_null_timestamps(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.temporal import windowize
+
+    t = pa.table(
+        {
+            "doc_id": ["a", "a"],
+            "ingest_ts": pa.array([100, None], type=pa.timestamp("us")),
+            "seq_no": pa.array([0, 1], pa.int64()),
+            "v": pa.array([1.0, 2.0]),
+        }
+    )
+    with pytest.raises(Exception, match="null timestamps"):
+        windowize(rd.from_arrow(t), lag_cols=["v"], n_buckets=2).to_pandas()
+
+
+def test_windowize_null_partition_keys_form_one_group(ray_session):
+    """SQL PARTITION BY groups NULL keys into ONE partition — lag within
+    the null group must see the previous null-key row, warning-free."""
+    import warnings
+
+    import ray.data as rd
+
+    from modlyn_ray.stages.temporal import windowize
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([None, "a", None], type=pa.string()),
+            "ingest_ts": _ts([10, 20, 30]),
+            "seq_no": pa.array([0, 1, 2], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = (
+            windowize(rd.from_arrow(t), lag_cols=["v"], n_buckets=2)
+            .to_pandas()
+            .sort_values("seq_no")
+            .reset_index(drop=True)
+        )
+    assert pd.isna(out.loc[0, "lag1_v"])  # first null-key row: no predecessor
+    assert out.loc[2, "lag1_v"] == 1.0  # second null-key row lags the first
+
+
+def test_heavy_key_routing_works_for_int_keys(ray_session):
+    """detect_heavy_keys output must actually route int64 hot keys to their
+    dedicated bucket (string-rendering match in the bucket kernel)."""
+    import ray.data as rd
+
+    from modlyn_ray.stages.temporal import add_bucket_column
+
+    ids = [7] * 80 + list(range(100, 120))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    bds = add_bucket_column(rd.from_arrow(t), n_buckets=8, heavy={7: 8}).to_pandas()
+    hot = bds[bds["doc_id"] == 7]
+    assert (hot["bucket"] == 8).all()
+    assert (bds[bds["doc_id"] != 7]["bucket"] < 8).all()
+
+
+def test_joins_schema_tolerates_pandas_blocks(ray_session):
+    """hash_equi_join on a pandas-backed upstream dataset must not crash on
+    the schema probe."""
+    import ray.data as rd
+
+    from modlyn_ray.stages.joins import hash_equi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "b"]), "x": pa.array([1, 2], pa.int64())})
+    ).map_batches(lambda df: df, batch_format="pandas")
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(["a"]), "y": pa.array([10], pa.int64())})
+    )
+    out = hash_equi_join(left, right, "k", "k", ["y"], n_buckets=2).to_pandas()
+    assert sorted(out["k"]) == ["a"]
+    assert out["y"].tolist() == [10]
