@@ -15,7 +15,9 @@ siblings in round 5 WITHOUT losing per-operator value coverage:
                            batch path is byte-equal per tests/test_round3_ops)
   - q12 backfill        -> q10's purchase_value_ffill column (same oracle)
   - q14 tumbling hourly -> q49 resample (hourly agg is its inner CTE)
-  - q15 rolling RANGE   -> q52 PIT features (rolling windows in its oracle)
+  - q15 rolling RANGE   -> pytest brute-force oracle (tests/test_temporal.py
+                           ::test_windowize_rolling_matches_bruteforce; q52's
+                           SQL covers the cumulative-window semantics only)
   - q23 lang-ID         -> q21's lang_pred column (same CASE oracle)
   - q28 normalize       -> q29's text_norm column (same regexp oracle)
   - q34 IVF recall      -> q45 embed->IVF (same recall-floor contract)

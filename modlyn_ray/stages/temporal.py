@@ -355,24 +355,28 @@ def window_kernel(
         doc_ord = np.cumsum(new_doc) - 1  # doc index per row within bucket
         out = out.append_column(f"cum_{c}", pa.array(g - start_offset[doc_ord]))
 
-    for c in rolling_cols or []:
-        col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
-        v = np.nan_to_num(col.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
-        pad = np.zeros(n + 1)
-        np.cumsum(v, out=pad[1:])
-        cnt_pad = np.arange(n + 1, dtype=np.float64)
-        roll_sum = np.empty(n)
-        roll_cnt = np.empty(n)
-        starts = np.flatnonzero(new_doc)
-        ends = np.r_[starts[1:], n]
-        for s, e in zip(starts, ends):
-            seg_ts = ts[s:e]
-            lo = s + np.searchsorted(seg_ts, seg_ts - rolling_window_us, side="left")
-            hi = s + np.searchsorted(seg_ts, seg_ts, side="right")
-            roll_sum[s:e] = pad[hi] - pad[lo]
-            roll_cnt[s:e] = cnt_pad[hi] - cnt_pad[lo]
-        out = out.append_column(f"roll_sum_{c}", pa.array(roll_sum))
-        out = out.append_column(f"roll_cnt_{c}", pa.array(roll_cnt.astype(np.int64)))
+    if rolling_cols:
+        # vectorized window bounds via the same composite (doc_ord, ts_rank)
+        # int64 trick as range_join_kernel: rank every ts that can appear as
+        # a value or a lower bound in one shared ordering, then TWO global
+        # searchsorted calls resolve all per-row [t - W, t] bounds — no
+        # per-doc Python loop (which dominated buckets holding many small
+        # docs). comp is globally sorted because rows are (doc, ts)-sorted.
+        doc_ord = np.cumsum(new_doc) - 1
+        lo_t = ts - rolling_window_us
+        uniq_ts = np.unique(np.concatenate([ts, lo_t]))
+        m = np.int64(len(uniq_ts) + 1)
+        comp = doc_ord * m + np.searchsorted(uniq_ts, ts)
+        lo = np.searchsorted(comp, doc_ord * m + np.searchsorted(uniq_ts, lo_t), side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        roll_cnt_col = pa.array((hi - lo).astype(np.int64))
+        for c in rolling_cols:
+            col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]
+            v = np.nan_to_num(col.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
+            pad = np.zeros(n + 1)
+            np.cumsum(v, out=pad[1:])
+            out = out.append_column(f"roll_sum_{c}", pa.array(pad[hi] - pad[lo]))
+            out = out.append_column(f"roll_cnt_{c}", roll_cnt_col)
 
     for c in backfill_cols:
         col = out[c].combine_chunks() if isinstance(out[c], pa.ChunkedArray) else out[c]

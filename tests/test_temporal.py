@@ -191,3 +191,36 @@ def test_heavy_key_detection_and_dedicated_bucket():
     bds = add_bucket_column(ds, n_buckets=16, heavy=heavy)
     got = bds.filter(expr="doc_id == 'doc000000'").take(5)
     assert all(r["bucket"] == heavy["doc000000"] for r in got)
+
+
+def test_windowize_rolling_matches_bruteforce():
+    """roll_sum/roll_cnt over [t - W, t] within each doc vs an O(n^2)
+    reference — many small docs + duplicate timestamps exercise the
+    vectorized composite (doc_ord, ts_rank) bounds (q15's folded rolling
+    RANGE semantics live here; q52's oracle covers only cumulative rows)."""
+    rng = np.random.default_rng(41)
+    n = 600
+    docs = [f"d{int(i):03d}" for i in rng.integers(0, 60, n)]  # many tiny docs
+    ts = rng.integers(0, 5000, n).astype(np.int64) * 1_000_000
+    ts[rng.integers(0, n, 80)] = ts[rng.integers(0, n, 80)]  # force dup ts
+    v = rng.normal(size=n)
+    W = 600 * 1_000_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(docs),
+            "ingest_ts": pa.array(ts, type=pa.timestamp("us")),
+            "seq_no": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(v),
+        }
+    )
+    out = (
+        windowize(rd.from_arrow(t), rolling_cols=["v"], rolling_window_us=W, n_buckets=4)
+        .to_pandas()
+        .sort_values("seq_no")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"doc": docs, "ts": ts, "v": v})
+    for i in range(n):
+        m = (df["doc"] == docs[i]) & (df["ts"] >= ts[i] - W) & (df["ts"] <= ts[i])
+        assert out.loc[i, "roll_cnt_v"] == int(m.sum()), i
+        np.testing.assert_allclose(out.loc[i, "roll_sum_v"], df.loc[m, "v"].sum())
