@@ -59,21 +59,9 @@ def _combined(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
-def _joint_codes(l_key: pa.Array, r_key: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Dictionary-encode both key columns through ONE shared dictionary and
-    return (left_codes, right_codes) as int64 — equal values share a code.
-
-    SQL equality semantics for NULL keys: NULL matches nothing, not even
-    NULL. Null rows get side-specific sentinel codes (-1 left, -2 right)
-    that can never appear in the other side's code space, so inner/semi
-    joins never emit NULL=NULL pairs and anti-joins KEEP null-key left rows
-    (the NOT EXISTS contract, e.g. the q08 oracle)."""
-    nl = len(l_key)
-    joint = pa.chunked_array([l_key, r_key]).combine_chunks().dictionary_encode()
-    codes = joint.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-    lcodes, rcodes = codes[:nl], codes[nl:].copy()
-    rcodes[rcodes == -1] = -2
-    return lcodes, rcodes
+# the NULL-sentinel key-encoding contract lives in util.joint_codes (shared
+# with temporal.asof_kernel / range_join_kernel)
+from modlyn_ray.util import joint_codes as _joint_codes  # noqa: E402
 
 
 def hash_equi_join(

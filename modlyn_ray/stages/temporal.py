@@ -532,14 +532,15 @@ def asof_kernel(
     # per-bucket merge cost at scale)
     l_key = ltbl[by].combine_chunks() if isinstance(ltbl[by], pa.ChunkedArray) else ltbl[by]
     r_key = rtbl[by].combine_chunks() if isinstance(rtbl[by], pa.ChunkedArray) else rtbl[by]
-    joint = pa.chunked_array([l_key, r_key]).combine_chunks().dictionary_encode()
-    # NULL keys match nothing (SQL equality): side-specific sentinels, same
-    # contract as joins._joint_codes — null left rows get null attr values.
-    codes = joint.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-    codes[nl:][codes[nl:] == -1] = -2
+    # NULL keys match nothing (SQL equality): the shared side-specific
+    # sentinel contract lives in util.joint_codes — null left rows get
+    # null attr values.
+    from modlyn_ray.util import joint_codes
+
+    lcodes, rcodes = joint_codes(l_key, r_key)
     lf = pd.DataFrame(
         {
-            "doc": codes[:nl],
+            "doc": lcodes,
             "ts": _ts_int(ltbl[ts_col]),
             "idx": np.arange(nl, dtype=np.int64),
         }
@@ -553,7 +554,7 @@ def asof_kernel(
     # timestamp (matching SQL max(), which ignores nulls).
     sortable = [c for c in value_cols if not pa.types.is_nested(vtypes[c])]
     rdata = {
-        "doc": codes[nl:],
+        "doc": rcodes,
         "ts": rts,
         "ridx": np.arange(nr, dtype=np.int64),
     }
@@ -720,13 +721,12 @@ def range_join_kernel(
         return out.append_column(f"matched{suffix}_ts", pa.nulls(0, pa.timestamp("us")))
     l_key = ltbl[by].combine_chunks() if isinstance(ltbl[by], pa.ChunkedArray) else ltbl[by]
     r_key = rtbl[by].combine_chunks() if isinstance(rtbl[by], pa.ChunkedArray) else rtbl[by]
-    joint = pa.chunked_array([l_key, r_key]).combine_chunks().dictionary_encode()
-    # NULL keys match nothing (SQL equality): side-specific sentinels — see
-    # joins._joint_codes. Composite-key arithmetic below stays sound: code c
+    # NULL keys match nothing (SQL equality): shared sentinel contract in
+    # util.joint_codes; composite-key arithmetic below stays sound — code c
     # occupies the disjoint range [c*m, c*m + m - 1] even for c in {-1, -2}.
-    codes = joint.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-    lcodes, rcodes = codes[:nl], codes[nl:].copy()
-    rcodes[rcodes == -1] = -2
+    from modlyn_ray.util import joint_codes
+
+    lcodes, rcodes = joint_codes(l_key, r_key)
     lts = _ts_int(ltbl[ts_col])
     rts = _ts_int(rtbl[ts_col])
     order = np.lexsort((rts, rcodes))

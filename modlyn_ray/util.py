@@ -99,3 +99,30 @@ def pool_bounds(requested) -> tuple[int, int]:
         lo, hi = requested
         return (max(1, min(int(lo), pool_size(int(hi)))), pool_size(int(hi)))
     return (1, pool_size(requested))
+
+
+def joint_codes(l_key, r_key):
+    """Dictionary-encode two key columns through ONE shared dictionary and
+    return (left_codes, right_codes) as int64 — equal values share a code.
+
+    SQL equality semantics for NULL keys: NULL matches nothing, not even
+    NULL. Null rows get side-specific sentinel codes (-1 left, -2 right)
+    that can never appear in the other side's code space, so inner/semi
+    joins never emit NULL=NULL pairs and anti-joins KEEP null-key left rows
+    (the NOT EXISTS contract, e.g. the q08 oracle). Composite-key
+    arithmetic over the codes stays sound: code c occupies the disjoint
+    range [c*m, c*m + m - 1] even for c in {-1, -2}.
+
+    Shared by joins.hash_equi_join, temporal.asof_kernel and
+    temporal.range_join_kernel so the NULL-sentinel contract lives in ONE
+    place (it has been fixed once before, in commit 2139fa7).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    nl = len(l_key)
+    joint = pa.chunked_array([l_key, r_key]).combine_chunks().dictionary_encode()
+    codes = joint.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    lcodes, rcodes = codes[:nl], codes[nl:].copy()
+    rcodes[rcodes == -1] = -2
+    return lcodes, rcodes
