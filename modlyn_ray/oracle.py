@@ -155,7 +155,7 @@ def logreg_adam(
             d[np.arange(len(yb)), yb] -= 1.0
             d /= len(yb)
             gW = d.T @ Xb + weight_decay * W  # torch Adam: L2 folded into grad
-            gb = d.sum(axis=0)
+            gb = d.sum(axis=0) + weight_decay * b  # torch decays bias too
             step += 1
             t = step
             mW = beta1 * mW + (1 - beta1) * gW

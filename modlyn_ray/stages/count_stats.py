@@ -49,6 +49,27 @@ from ray.data.aggregate import Sum
 _SENT = (1 << 32) - 1  # token slot carrying per-class row counts
 
 
+def _row_stats(occ, sumsq, n_c, mass_c):
+    """Shared per-(class, token) row math: (mean, var, freq, occ^2/n_c).
+    Used by BOTH the tree-reduce finalize and the shuffle-aggregate path —
+    keep the formulas in one place so the two paths can never drift."""
+    mean = occ / n_c
+    return mean, sumsq / n_c - mean**2, occ / mass_c, occ**2 / n_c
+
+
+def _f_formula(s_occ2n, s_sumsq, s_occ, n_total, k_classes):
+    """Shared one-way ANOVA F over classes, incl. the within>1e-12
+    degenerate-case convention (documented in oracle.py: f_score = 0 where
+    the within-class mean square is ~0)."""
+    if k_classes > 1 and n_total > k_classes:
+        between = (s_occ2n - s_occ**2 / n_total) / (k_classes - 1)
+        within = (s_sumsq - s_occ2n) / (n_total - k_classes)
+        return np.where(
+            within > 1e-12, between / np.where(within > 1e-12, within, 1.0), 0.0
+        )
+    return np.zeros(len(np.atleast_1d(s_occ2n)))
+
+
 
 def _row_token_counts(flat: np.ndarray, lens: np.ndarray, vmax: int):
     """Per-(row, token) occurrence counts -> (row_of, tok_of, c_rt).
@@ -110,16 +131,17 @@ def make_partial_counts(class_lut: dict[str, int]):
     """Build the per-batch partial kernel with a broadcast class->code map."""
 
     def partial_counts(batch: pa.Table) -> pa.Table:
+        from modlyn_ray.util import encode_labels
+
         n = len(batch)
-        src = batch["source"]
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        sdic = src.dictionary_encode()
-        sidx = sdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        scode_of_dict = np.array(
-            [class_lut[str(u)] for u in sdic.dictionary.to_pylist()], dtype=np.int64
-        )
-        src_codes = scode_of_dict[sidx]
+        src_codes = encode_labels(batch["source"], class_lut)
+        if n and int(src_codes.min()) < 0:
+            # null or unknown label: fail with a clear message instead of a
+            # bare KeyError / garbage NaN-cast index deep in a Ray worker
+            raise ValueError(
+                "count_stats: 'source' contains a null or a label absent "
+                "from the class set — pass classes= covering every label"
+            )
 
         toks = batch["tokens"]
         if isinstance(toks, pa.ChunkedArray):
@@ -129,6 +151,15 @@ def make_partial_counts(class_lut: dict[str, int]):
         lens = np.diff(offs - offs[0])
 
         vmax = int(flat.max()) + 1 if len(flat) else 1
+        if vmax > _SENT:
+            # tok == 2^32-1 would collide with the per-class sentinel slot
+            # and larger ids would bleed into the class bits of the packed
+            # (cls << 32 | tok) key — fail loudly, mirroring the negative-id
+            # guard in _row_token_counts
+            raise ValueError(
+                f"count_stats: token id {vmax - 1} exceeds the 2^32-2 packed "
+                "key space — remap the vocabulary upstream"
+            )
         row_of, tok_of, c_rt = _row_token_counts(flat, lens, vmax)
         cls_of = src_codes[row_of]
         key_ct = cls_of * vmax + tok_of
@@ -346,21 +377,14 @@ def _finalize_state_numpy(state, class_names: np.ndarray, k_classes: int) -> pa.
     tok = (keys & _SENT).astype(np.int64)
     n_c = nc_arr[cls_idx]
     mass = np.maximum(np.bincount(cls_idx, weights=occ, minlength=k_classes), 1.0)
-    mean = occ / n_c
-    var = sumsq / n_c - mean**2
-    occ2n = occ**2 / n_c
+    mean, var, freq, occ2n = _row_stats(occ, sumsq, n_c, mass[cls_idx])
 
     # per-token F over classes (dense arrays indexed by token id)
     vmax = int(tok.max()) + 1 if len(tok) else 1
     s_occ2n = np.bincount(tok, weights=occ2n, minlength=vmax)
     s_sumsq = np.bincount(tok, weights=sumsq, minlength=vmax)
     s_occ = np.bincount(tok, weights=occ, minlength=vmax)
-    if k_classes > 1 and n_total > k_classes:
-        between = (s_occ2n - s_occ**2 / n_total) / (k_classes - 1)
-        within = (s_sumsq - s_occ2n) / (n_total - k_classes)
-        f_tok = np.where(within > 1e-12, between / np.where(within > 1e-12, within, 1.0), 0.0)
-    else:
-        f_tok = np.zeros(vmax)
+    f_tok = _f_formula(s_occ2n, s_sumsq, s_occ, n_total, k_classes)
 
     return pa.table(
         {
@@ -368,7 +392,7 @@ def _finalize_state_numpy(state, class_names: np.ndarray, k_classes: int) -> pa.
             "token_id": pa.array(tok.astype(np.int32)),
             "count": pa.array(occ.astype(np.int64)),
             "df": pa.array(df.astype(np.int64)),
-            "freq": pa.array(occ / mass[cls_idx]),
+            "freq": pa.array(freq),
             "mean": pa.array(mean),
             "var": pa.array(var),
             "f_score": pa.array(f_tok[tok]),
@@ -519,17 +543,17 @@ def count_stats(
         sumsq = batch["sumsq"].to_numpy()
         df = batch["df"].to_numpy()
         n_c = nc_arr[cls_idx]
-        mean = occ / n_c
+        mean, var, freq, occ2n = _row_stats(occ, sumsq, n_c, mass_arr[cls_idx])
         return pa.table(
             {
                 "source": pa.array(class_names[cls_idx].tolist(), type=pa.string()),
                 "token_id": pa.array(tok),
                 "count": pa.array(occ.astype(np.int64)),
                 "df": pa.array(df.astype(np.int64)),
-                "freq": pa.array(occ / mass_arr[cls_idx]),
+                "freq": pa.array(freq),
                 "mean": pa.array(mean),
-                "var": pa.array(sumsq / n_c - mean**2),
-                "occ2n": pa.array(occ**2 / n_c),
+                "var": pa.array(var),
+                "occ2n": pa.array(occ2n),
                 "sumsq_": pa.array(sumsq),
                 "occ_": pa.array(occ),
             }
@@ -549,12 +573,7 @@ def count_stats(
         s_occ2n = batch["s_occ2n"].to_numpy()
         s_sumsq = batch["s_sumsq"].to_numpy()
         s_occ = batch["s_occ"].to_numpy()
-        if k_classes > 1 and n_total > k_classes:
-            between = (s_occ2n - s_occ**2 / n_total) / (k_classes - 1)
-            within = (s_sumsq - s_occ2n) / (n_total - k_classes)
-            f = np.where(within > 1e-12, between / np.where(within > 1e-12, within, 1.0), 0.0)
-        else:
-            f = np.zeros(len(batch))
+        f = _f_formula(s_occ2n, s_sumsq, s_occ, n_total, k_classes)
         return pa.table({"token_id": batch["token_id"], "f_score": pa.array(f)})
 
     f_pd = ftok.map_batches(f_math, batch_format="pyarrow").to_pandas()

@@ -59,6 +59,11 @@ def batch_rtc(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]
     if len(flat) == 0:
         return row_idx, flat, np.array([], dtype=np.float64), n
     vmax = int(flat.max()) + 1
+    if int(flat.min()) < 0:
+        # same hazard count_stats guards: a negative id breaks the
+        # row*vmax+tok packing AND W[:, tok] would silently fancy-index
+        # from the end of the vocab
+        raise ValueError(f"logreg: negative token id {int(flat.min())} in batch")
     key = row_idx * vmax + flat
     uniq, cnt = np.unique(key, return_counts=True)
     return uniq // vmax, uniq % vmax, cnt.astype(np.float64), n
@@ -168,8 +173,12 @@ class LogRegModel:
 
 
 def train_classes(ds: Dataset) -> list[str]:
-    """Lexicographically sorted unique labels == LabelEncoder.classes_."""
-    return sorted(ds.unique("source"))
+    """Lexicographically sorted unique labels == LabelEncoder.classes_.
+
+    Projects to the label column first so the distinct scan never drags
+    the token lists through the aggregate (full-width Dataset.unique paid
+    a whole-corpus scan for ~K labels)."""
+    return sorted(ds.select_columns(["source"]).unique("source"))
 
 
 def split_train_val(
@@ -214,12 +223,9 @@ def eval_pass(
 
     def part(batch: pa.Table) -> pa.Table:
         Wl, bl = ray.get(ref)
-        rows, toks, cnt, n = batch_rtc(batch)
-        x = np.log1p(cnt) if log1p else cnt
+        logits = batch_logits(batch, Wl, bl, log1p)
+        n = len(batch)
         y = encode_labels(batch["source"], lut)
-        logits = np.broadcast_to(bl, (n, K)).copy()
-        if len(toks):
-            np.add.at(logits, rows, (Wl[:, toks] * x).T)
         # rows whose label is absent from the train-side classes (a hash
         # split can strand all rows of a rare class in val) are EXCLUDED
         # from loss/CM; their count rides the aggregate as cell -2 so the
@@ -349,7 +355,8 @@ def fit_logreg(
                     gWT = np.zeros((V, K))
                     np.add.at(gWT, toks, d[rows] * x[:, None])
                     gW += gWT.T
-                gb = d.sum(axis=0)
+                # torch Adam decays every parameter, the bias included
+                gb = d.sum(axis=0) + config.weight_decay * b
                 lr_t = config.lr_at(step)
                 step += 1
                 sW.update(W, gW, lr_t)
@@ -433,7 +440,9 @@ def fit_logreg_fullbatch(
                 kk, tt = np.meshgrid(np.arange(Kl, dtype=np.int64), utok, indexing="ij")
                 keys_list.append(((kk << 32) | tt).ravel())
                 vals_list.append(gsub.ravel())
-            keys_list.append(((np.int64(Kl) + np.arange(Kl, dtype=np.int64)) << 32) | SENT)
+            keys_list.append(
+                (BIAS_BASE + (np.arange(Kl, dtype=np.int64) << 32)) | SENT
+            )
             vals_list.append(d.sum(axis=0))
             keys_list.append(np.array([LOSS_KEY], dtype=np.int64))
             vals_list.append(np.array([loss_sum]))
@@ -465,7 +474,7 @@ def fit_logreg_fullbatch(
         lmask = keys == LOSS_KEY
         loss_sum = float(vals[lmask].sum())
         gW = gW / n_total + config.weight_decay * W
-        gb = gb / n_total
+        gb = gb / n_total + config.weight_decay * b  # torch decays bias too
         losses.append(loss_sum / n_total)
         lr_t = config.lr_at(sW.t)
         sW.update(W, gW, lr_t)

@@ -350,3 +350,63 @@ def test_joins_schema_tolerates_pandas_blocks(ray_session):
     out = hash_equi_join(left, right, "k", "k", ["y"], n_buckets=2).to_pandas()
     assert sorted(out["k"]) == ["a"]
     assert out["y"].tolist() == [10]
+
+
+def test_logreg_batch_rtc_rejects_negative_ids():
+    from modlyn_ray.stages.logreg import batch_rtc
+
+    b = pa.table(
+        {
+            "tokens": pa.array([[1, -3]], pa.list_(pa.int32())),
+            "source": pa.array(["s0"]),
+        }
+    )
+    with pytest.raises(ValueError, match="negative token id"):
+        batch_rtc(b)
+
+
+def test_count_stats_rejects_ids_beyond_packed_space(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.count_stats import count_stats
+
+    t = pa.table(
+        {
+            "source": pa.array(["s0"]),
+            "tokens": pa.array([[2**32 - 1]], pa.list_(pa.int64())),
+        }
+    )
+    with pytest.raises(Exception, match="packed key space"):
+        count_stats(rd.from_arrow(t)).to_pandas()
+
+
+def test_count_stats_loud_on_unknown_label(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.count_stats import count_stats
+
+    t = pa.table(
+        {
+            "source": pa.array(["s0", "zzz"]),
+            "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+        }
+    )
+    with pytest.raises(Exception, match="absent from the class set"):
+        count_stats(rd.from_arrow(t), classes=["s0"]).to_pandas()
+
+
+def test_bias_weight_decay_matches_torch_semantics():
+    """Adam with weight_decay must decay the bias too: with zero-token
+    input and one step, gb = d + wd*b — verify the trainer's b moves as
+    the closed-form single-step Adam update predicts."""
+    from modlyn_ray.stages.logreg import AdamState
+
+    b = np.array([0.5, -0.5])
+    d = np.array([0.1, -0.1])
+    wd = 1e-2
+    gb = d + wd * b
+    sb = AdamState.like(b)
+    b2 = b.copy()
+    sb.update(b2, gb, 1e-2)
+    # first Adam step moves by -lr * sign(g) (bias-corrected m/v ratio = sign)
+    np.testing.assert_allclose(b2, b - 1e-2 * np.sign(gb), rtol=1e-6)
