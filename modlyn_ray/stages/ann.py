@@ -23,7 +23,25 @@ from ray.data import Dataset
 def _stack(batch_col) -> np.ndarray:
     if isinstance(batch_col, pa.ChunkedArray):
         batch_col = batch_col.combine_chunks()
+    if len(batch_col) == 0:  # np.stack([]) raises; scorers early-return on n=0
+        return np.zeros((0, 0), dtype=np.float64)
     return np.stack(batch_col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def _empty_scores(qids, batch: pa.Table, id_col: str) -> pa.Table:
+    """Typed empty partial-scores table: query/neighbor id dtypes derived
+    from the real inputs (a hardcoded int64 empty frame would mix schemas
+    with string-id blocks downstream)."""
+    ncol = batch[id_col]
+    if isinstance(ncol, pa.ChunkedArray):
+        ncol = ncol.combine_chunks()
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(qids)[:0]),
+            "neighbor_id": ncol.slice(0, 0),
+            "cosine": pa.array(np.zeros(0)),
+        }
+    )
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -45,6 +63,8 @@ class _BruteScorer:
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # empty block: np.stack/argpartition would raise
+            return _empty_scores(self.qids, batch, self.id_col)
         E = _normalize(_stack(batch[self.emb_col]))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         C = self.Q @ E.T  # (Q, B)
@@ -152,7 +172,7 @@ def knn_ivf(
     ``centroids`` from train_ivf_centroids (broadcast once)."""
     qids, Q = queries
     if centroids is None:
-        centroids = train_ivf_centroids(ds)
+        centroids = train_ivf_centroids(ds, emb_col=emb_col)
     Qn = _normalize(np.asarray(Q, dtype=np.float64))
     q_cells = np.argsort(-(Qn @ centroids.T), axis=1)[:, :n_probe]
     ref = ray.put((np.asarray(qids), Qn, centroids, q_cells))
@@ -162,6 +182,8 @@ def knn_ivf(
             self.qids, self.Q, self.C, self.q_cells = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return _empty_scores(self.qids, batch, id_col)
             E = _normalize(_stack(batch[emb_col]))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             cell = (E @ self.C.T).argmax(axis=1)
@@ -179,11 +201,7 @@ def knn_ivf(
                 out_n.append(ids[mask][part])
                 out_c.append(c[part])
             if not out_q:
-                return pa.table(
-                    {"query_id": pa.array([], type=pa.int64()),
-                     "neighbor_id": pa.array([], type=pa.int64()),
-                     "cosine": pa.array([], type=pa.float64())}
-                )
+                return _empty_scores(self.qids, batch, id_col)
             return pa.table(
                 {
                     "query_id": pa.array(np.concatenate(out_q)),
@@ -225,13 +243,20 @@ def knn_lsh(
     planes = rng.standard_normal((dim, n_planes))
     Qn = _normalize(np.asarray(Q, dtype=np.float64))
     qsig = (Qn @ planes > 0).astype(np.int64) @ (1 << np.arange(n_planes))
-    # admissible buckets per query (exact + hamming<=probe neighbors),
+    # admissible buckets per query (exact + ALL hamming<=probe neighbors —
+    # sum of C(n_planes, r) masks, e.g. 6+15=21 flips at probe=2/6 planes),
     # as sorted int arrays so the per-batch membership test is np.isin
+    from itertools import combinations
+
     admissible: list[np.ndarray] = []
     for s in qsig:
         cur = {int(s)}
-        if probe_hamming >= 1:
-            cur |= {int(s) ^ (1 << b) for b in range(n_planes)}
+        for r in range(1, min(probe_hamming, n_planes) + 1):
+            for bits in combinations(range(n_planes), r):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                cur.add(int(s) ^ flip)
         admissible.append(np.array(sorted(cur), dtype=np.int64))
     q_ref = ray.put((np.asarray(qids), Qn, planes, admissible))
 
@@ -240,6 +265,8 @@ def knn_lsh(
             self.qids, self.Q, self.planes, self.adm = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return _empty_scores(self.qids, batch, id_col)
             E = _normalize(_stack(batch[emb_col]))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             sig = (E @ self.planes > 0).astype(np.int64) @ (1 << np.arange(self.planes.shape[1]))
@@ -257,11 +284,7 @@ def knn_lsh(
                 out_n.append(ids[mask][part])
                 out_c.append(c[part])
             if not out_q:
-                return pa.table(
-                    {"query_id": pa.array([], type=pa.int64()),
-                     "neighbor_id": pa.array([], type=pa.int64()),
-                     "cosine": pa.array([], type=pa.float64())}
-                )
+                return _empty_scores(self.qids, batch, id_col)
             return pa.table(
                 {
                     "query_id": pa.array(np.concatenate(out_q)),

@@ -75,12 +75,17 @@ def exact_dedup(
         return batch.append_column("__h", h).replace_schema_metadata(None)
 
     def first_per_value(g: pd.DataFrame) -> pd.DataFrame:
-        # within a hash bucket, group by the REAL value (collision-proof)
+        # within a hash bucket, group by the REAL value (collision-proof).
+        # Keep the min-id ROW intact via duplicated(), NOT per-column
+        # 'first' aggs — those skip NaN per column and would backfill the
+        # kept row's null fields from other rows (a franken-row), and
+        # groupby's default dropna=True would silently DELETE null-value
+        # rows. dropna=False keeps nulls as one group (SQL GROUP BY).
         g = g.sort_values(id_col, kind="stable")
-        out = g.groupby(col, as_index=False, sort=False).agg(
-            **{c: (c, "first") for c in g.columns if c != col},
-            dup_count=(id_col, "size"),
-        )
+        sizes = g.groupby(col, sort=False, dropna=False)[id_col].transform("size")
+        keep = ~g.duplicated(subset=[col], keep="first")
+        out = g.loc[keep].copy()
+        out["dup_count"] = sizes.loc[keep].to_numpy()
         return out
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -281,10 +286,22 @@ def _attach_payload(
         # index payload rows by key, take per pair row (vectorized)
         ykeys = ytbl["__key"].combine_chunks()
         pkeys = ptbl["__key"].combine_chunks()
-        idx = pc.index_in(pkeys, value_set=ykeys)
-        hit = pc.is_valid(idx)
-        ptbl = ptbl.filter(hit)
-        idx = idx.filter(hit)
+        # joint_codes, not pc.index_in: index_in would emit NULL=NULL
+        # matches; sentinel codes (-1 pair / -2 payload) never match
+        from modlyn_ray.util import joint_codes
+
+        pcodes, ycodes = joint_codes(pkeys, ykeys)
+        if len(ycodes):
+            order = np.argsort(ycodes, kind="stable")
+            ys = ycodes[order]
+            pos = np.minimum(np.searchsorted(ys, pcodes), len(ys) - 1)
+            valid = ys[pos] == pcodes
+            take_np = order[pos]
+        else:
+            valid = np.zeros(len(pcodes), dtype=bool)
+            take_np = np.zeros(0, dtype=np.int64)
+        ptbl = ptbl.filter(pa.array(valid))
+        idx = pa.array(take_np[valid] if len(ycodes) else take_np)
         out = ptbl.drop_columns(["__side", "bucket", "__key", *out_names])
         for c, o in zip(payload_cols, out_names):
             ycol = ytbl[o].combine_chunks() if isinstance(ytbl[o], pa.ChunkedArray) else ytbl[o]
@@ -388,22 +405,30 @@ def _propagate_min_labels(
         ).map_batches(
             lambda b: pa.table(
                 {"id": b["v"], "lab": b["nlab"],
-                 "__old": pa.nulls(len(b), b["nlab"].type)}
+                 "__is_old": pa.array(np.zeros(len(b), dtype=np.int8))}
             ),
             batch_format="pyarrow",
         )
         tagged_old = labels.map_batches(
-            lambda b: pa.table({"id": b["id"], "lab": b["lab"], "__old": b["lab"]}),
+            lambda b: pa.table(
+                {"id": b["id"], "lab": b["lab"],
+                 "__is_old": pa.array(np.ones(len(b), dtype=np.int8))}
+            ),
             batch_format="pyarrow",
         )
 
         def min_lab(df: pd.DataFrame) -> pd.DataFrame:
             # per id: new = min over old + candidates; changed = new < old.
-            # The change count folds into this exchange (no separate pass).
-            g = df.groupby("id", as_index=False).agg(
-                lab=("lab", "min"), __old=("__old", "max")
+            # The old label rides as flagged ROWS, not a nullable column —
+            # a nullable int64 __old column went through float64 (NaN),
+            # losing precision for ids above 2^53 and corrupting the
+            # change detector. The change count folds into this exchange.
+            g = df.groupby("id", as_index=False).agg(lab=("lab", "min"))
+            old = df.loc[df["__is_old"] == 1, ["id", "lab"]].rename(
+                columns={"lab": "__old"}
             )
-            g["__chg"] = (g["lab"] < g["__old"]).astype("int64")
+            g = g.merge(old, on="id", how="left")
+            g["__chg"] = ((g["lab"] < g["__old"]) & g["__old"].notna()).astype("int64")
             return g[["id", "lab", "__chg"]]
 
         # repartition BEFORE materialize: the union + sort grow the block
@@ -672,8 +697,14 @@ def _anti_join(
         rkeys = g.filter(pa.array(side == 1))["__key"].combine_chunks()
         if len(ltbl) == 0:
             return ltbl.drop_columns(["__side", "bucket", "__key"])
-        hit = pc.is_valid(pc.index_in(ltbl["__key"].combine_chunks(), value_set=rkeys))
-        return ltbl.filter(pc.invert(hit)).drop_columns(["__side", "bucket", "__key"])
+        # joint_codes, not pc.index_in: index_in matches a null key to a
+        # null in value_set (NULL=NULL), which would wrongly DROP null-key
+        # left rows — the NOT EXISTS contract keeps them (util.joint_codes)
+        from modlyn_ray.util import joint_codes
+
+        lcodes, rcodes = joint_codes(ltbl["__key"].combine_chunks(), rkeys)
+        hit = np.isin(lcodes, rcodes)
+        return ltbl.filter(pa.array(~hit)).drop_columns(["__side", "bucket", "__key"])
 
     return both.groupby("bucket").map_groups(keep_unmatched, batch_format="pyarrow")
 
@@ -830,12 +861,33 @@ def embedding_dedup(
     -> within-bucket exact cosine (numpy matmul). ``exact=True`` puts
     everything in one bucket (brute force; small inputs / oracle parity).
     """
-    dim_probe = ds.take(1)[0][emb_col]
-    dim = len(dim_probe)
+    probe = ds.take(1)
+    if not probe:  # empty input: pairs of nothing is an empty pairs table
+        import ray.data as _rd
+
+        sch = dict(zip(ds.schema().names, ds.schema().types))
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=sch[id_col]),
+                    "b": pa.array([], type=sch[id_col]),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    dim = len(probe[0][emb_col])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # np.stack([]) raises
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "bucket": pa.array([], type=pa.int64()),
+                    emb_col: batch[emb_col],
+                }
+            )
         emb = np.stack(
             batch[emb_col].combine_chunks().to_numpy(zero_copy_only=False)
         ).astype(np.float64)
@@ -876,7 +928,16 @@ def embedding_dedup(
                 out_b.append(ids[bj])
                 out_c.append(C[keep])
         if not out_a:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            # typed empty frame: an untyped one would emit a: double blocks
+            # that clash with string/int id blocks downstream (same guard
+            # as cand_kernel / pair_kernel)
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=ids.dtype),
+                    "b": pd.Series([], dtype=ids.dtype),
+                    "cosine": pd.Series([], dtype=np.float64),
+                }
+            )
         return pd.DataFrame(
             {
                 "a": np.concatenate(out_a),

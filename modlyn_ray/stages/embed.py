@@ -28,10 +28,14 @@ from ray.data import Dataset
 from modlyn_ray.util import pool_bounds
 
 # mix constants: any fixed odd multipliers give a stable rolling hash; the
-# shift picks an independent bit for the sign so bucket and sign decorrelate
+# shift picks an independent bit for the sign so bucket and sign decorrelate.
+# The sign bit sits at 47 — ABOVE any realistic bucket range (bucket = hh %
+# dim uses the low bits; a low sign bit like 13 would overlap the bucket
+# bits for power-of-two dims >= 2^14 and correlate sign with bucket parity,
+# losing hashing-trick unbiasedness).
 _M1 = np.uint64(1099511628211)
 _M2 = np.uint64(65599)
-_SIGN_SHIFT = np.uint64(13)
+_SIGN_SHIFT = np.uint64(47)
 
 
 class HashedNgramEmbedder:

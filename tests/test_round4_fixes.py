@@ -304,7 +304,7 @@ def _ref_embed(s: str, dim: int) -> np.ndarray:
     acc = np.zeros(dim, dtype=np.float64)
     for i in range(len(bs) - 2):
         h = (bs[i] * 1099511628211 + bs[i + 1] * 65599 + bs[i + 2]) % (1 << 64)
-        acc[h % dim] += 1.0 if (h >> 13) & 1 else -1.0
+        acc[h % dim] += 1.0 if (h >> 47) & 1 else -1.0
     n = np.linalg.norm(acc)
     return acc / n if n else acc
 

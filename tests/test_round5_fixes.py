@@ -410,3 +410,113 @@ def test_bias_weight_decay_matches_torch_semantics():
     sb.update(b2, gb, 1e-2)
     # first Adam step moves by -lr * sign(g) (bias-corrected m/v ratio = sign)
     np.testing.assert_allclose(b2, b - 1e-2 * np.sign(gb), rtol=1e-6)
+
+
+# ---- third-review fixes: dedup/ann/embed hardening ----
+
+
+def test_exact_dedup_keeps_null_rows_and_whole_min_row(ray_session):
+    """Null-text rows must survive as ONE group (SQL GROUP BY), and the
+    kept row must be the min-id ROW verbatim — not a per-column 'first'
+    franken-row backfilled from other group members."""
+    import ray.data as rd
+
+    from modlyn_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", None, "a", None]),
+            "meta": pa.array([None, None, "x", "y"]),
+        }
+    )
+    out = (
+        exact_dedup(rd.from_arrow(t), col="text", id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["dup_count"].tolist() == [2, 2]
+    # the min-id rows had meta=None; a franken-row would show 'x'/'y'
+    assert out["meta"].isna().all()
+
+
+def test_dedup_anti_join_keeps_null_key_left_rows(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.dedup import _anti_join
+
+    left = pa.table(
+        {"k": pa.array(["a", None, "b"]), "x": pa.array([1, 2, 3], pa.int64())}
+    )
+    right = pa.table({"k": pa.array(["a", None])})
+    out = _anti_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "k", n_buckets=2
+    ).to_pandas()
+    # 'a' matched -> dropped; null NEVER matches (NOT EXISTS keeps it); 'b' kept
+    assert sorted(out["x"].tolist()) == [2, 3]
+
+
+def test_knn_lsh_probe_hamming_two_probes_all_flips(ray_session):
+    """probe_hamming=2 must reach hamming-2 buckets (it silently behaved
+    as 1 before) — with few planes, probing every 2-flip finds the true
+    neighbor that hamming-1 probing misses."""
+    import ray.data as rd
+
+    from modlyn_ray.stages.ann import knn_brute, knn_lsh
+
+    rng = np.random.default_rng(19)
+    E = rng.standard_normal((300, 12))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array(E.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    q = (np.array([0, 5]), E[[0, 5]])
+    brute = knn_brute(rd.from_arrow(t), q, k=5)
+    r2 = knn_lsh(rd.from_arrow(t), q, k=5, n_planes=6, probe_hamming=2)
+    r6 = knn_lsh(rd.from_arrow(t), q, k=5, n_planes=6, probe_hamming=6)
+    # probing every bucket (hamming <= n_planes) must equal brute force
+    for qid in (0, 5):
+        want = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        full = set(r6[r6["query_id"] == qid]["neighbor_id"])
+        assert full == want
+        # recall is monotone in probe_hamming (r2 sees a superset of r1's
+        # candidate buckets; its top-k may differ from full's, so subset
+        # of full is NOT the invariant)
+        r1 = knn_lsh(rd.from_arrow(t), q, k=5, n_planes=6, probe_hamming=1)
+        got1 = set(r1[r1["query_id"] == qid]["neighbor_id"])
+        got2 = set(r2[r2["query_id"] == qid]["neighbor_id"])
+        assert len(got2 & want) >= len(got1 & want)
+        assert len(got2) > 0
+
+
+def test_embedding_dedup_empty_and_singleton_bucket_schema(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.dedup import embedding_dedup
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.string()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        }
+    )
+    d = embedding_dedup(rd.from_arrow(empty))
+    assert d.count() == 0
+    assert d.schema().names == ["a", "b", "cosine"]
+
+    # string ids + all-singleton buckets: empty pair frames must carry the
+    # STRING id dtype, or schema unification fails downstream
+    rng = np.random.default_rng(21)
+    E = rng.standard_normal((40, 8))
+    t = pa.table(
+        {
+            "vec_id": pa.array([f"d{i}" for i in range(40)]),
+            "embedding": pa.array(E.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    pairs = embedding_dedup(rd.from_arrow(t), threshold=0.999999).to_pandas()
+    assert len(pairs) == 0  # random vectors: no near-dups at this threshold
