@@ -214,15 +214,29 @@ def pivot_wide(
     the schema — the usual pivot contract). Category values are used as
     column names verbatim.
     """
+    def _render(c) -> str:
+        # ONE rendering for category names everywhere: Arrow's string cast
+        # (the same kernel the per-batch pivot uses on the column), so an
+        # int/float/bool category can never mismatch its column label
+        return pa.scalar(c).cast(pa.string()).as_py()
+
     if categories is None:
-        categories = [
-            str(c) for c in sorted(ds.select_columns([pivot_col]).unique(pivot_col))
-        ]
+        # drop nulls BEFORE sorting (None is unorderable) — null pivot
+        # values are dropped per the documented contract, so they can
+        # never be a category
+        raw = [c for c in ds.select_columns([pivot_col]).unique(pivot_col) if c is not None]
+        categories = [_render(c) for c in sorted(raw)]
+    # normalize once: ALL category handling (per-batch reindex, the final
+    # Sum aggregate, the output schema) speaks the Arrow string rendering,
+    # and the per-batch pivot casts the pivot column with the same kernel —
+    # an int pivot column against str categories previously reindexed to
+    # nothing and silently zeroed the whole output
+    categories = [_render(c) for c in categories]
     # category values become schema column names verbatim: refuse silent
     # breakage from a category shadowing an index column or two categories
     # colliding after str() (null pivot/index values are dropped by the
     # pandas groupby, per the documented contract)
-    str_cats = [str(c) for c in categories]
+    str_cats = categories
     clash = set(str_cats) & set(index_cols)
     if clash:
         raise ValueError(
@@ -234,12 +248,20 @@ def pivot_wide(
 
     def partial(b: pa.Table) -> pa.Table:
         cols = index_cols + [pivot_col] + ([value_col] if value_col else [])
-        df = b.select(cols).to_pandas()
+        b = b.select(cols).set_column(
+            b.select(cols).schema.get_field_index(pivot_col),
+            pivot_col,
+            pc.cast(b[pivot_col], pa.string()),
+        )
+        df = b.to_pandas()
         if value_col is None:
             df = df.assign(__v=np.ones(len(df), dtype=np.int64))
             vc = "__v"
         else:
             vc = value_col
+        # (pivot column already cast to Arrow string above — a nullable
+        # int64 would otherwise come to pandas as float64 and render as
+        # '2023.0', never matching the '2023' category labels)
         g = (
             df.groupby(index_cols + [pivot_col], as_index=False, sort=False)[vc]
             .sum()
@@ -318,6 +340,17 @@ def grouped_corr(
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.select(group_cols + [x_col, y_col]).to_pandas()
+        # SQL corr() skips rows where either side is NULL; without this a
+        # single null poisoned the whole group's sums to NaN. ``n`` counts
+        # the pairs actually used.
+        df = df.dropna(subset=[x_col, y_col])
+        if df.empty:
+            base = b.select(group_cols).slice(0, 0).to_pandas()
+            for c in ("n",):
+                base[c] = pd.Series([], dtype=np.int64)
+            for c in ("ax", "ay", "sdx", "sdy", "sdxx", "sdyy", "sdxy"):
+                base[c] = pd.Series([], dtype=np.float64)
+            return pa.Table.from_pandas(base, preserve_index=False).replace_schema_metadata(None)
         g = df.groupby(group_cols, sort=False)
         ax = g[x_col].transform("first").to_numpy(dtype=np.float64)
         ay = g[y_col].transform("first").to_numpy(dtype=np.float64)

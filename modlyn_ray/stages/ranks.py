@@ -58,7 +58,10 @@ def rank_kernel(
     user = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
     ts = col(ts_col).to_numpy(zero_copy_only=False)
     if ts.dtype.kind == "M":
-        ts = ts.astype("datetime64[us]").view(np.int64)
+        ts = ts.astype("datetime64[us]").view(np.int64).copy()
+        # NaT views as INT64_MIN and would sort FIRST; DuckDB's default is
+        # NULLS LAST for ASC — map null timestamps to the top of the order
+        ts[ts == np.iinfo(np.int64).min] = np.iinfo(np.int64).max
     tie = col(tie_col).to_numpy(zero_copy_only=False).astype(np.int64)
     val = col(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
 
@@ -78,7 +81,11 @@ def rank_kernel(
     starts2 = np.flatnonzero(seg_new2)
     seg_id2 = np.cumsum(seg_new2) - 1
     pos = np.arange(n) - starts2[seg_id2]
-    run_new = np.r_[True, (v2[1:] != v2[:-1]) | seg_new2[1:]]
+    # NULL values are RANK peers (NaN != NaN would start a run per null);
+    # they already sort last within the partition (NULLS LAST), matching
+    # DuckDB's default DESC null ordering
+    both_nan = np.isnan(v2[1:]) & np.isnan(v2[:-1])
+    run_new = np.r_[True, ((v2[1:] != v2[:-1]) & ~both_nan) | seg_new2[1:]]
     run_id = np.cumsum(run_new) - 1
     first_pos_of_run = pos[np.flatnonzero(run_new)]
     rnk = np.empty(n, np.int64)

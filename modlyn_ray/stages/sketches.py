@@ -34,16 +34,22 @@ __all__ = [
 ]
 
 
+_DUCK = None  # one connection per worker process (Fingerprinter pattern)
+
+
 def _hash64(col: pa.Array) -> np.ndarray:
-    """Vectorized 64-bit hash of an Arrow column via DuckDB's hash() kernel."""
+    """Vectorized 64-bit hash of an Arrow column via DuckDB's hash() kernel.
+
+    The connection is cached per worker process — constructing a fresh
+    DuckDB database instance PER BATCH was pure fixed overhead on the HLL
+    hot path."""
+    global _DUCK
     import duckdb
 
-    tbl = pa.table({"v": col})
-    con = duckdb.connect()
-    try:
-        out = con.execute("SELECT hash(v) AS h FROM tbl").arrow()
-    finally:
-        con.close()
+    if _DUCK is None:
+        _DUCK = duckdb.connect()
+    tbl = pa.table({"v": col})  # noqa: F841 (duckdb scans it by name)
+    out = _DUCK.execute("SELECT hash(v) AS h FROM tbl").arrow()
     return out.column("h").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
 
 

@@ -30,14 +30,26 @@ DEFAULT_GAP_US = 3_600_000_000
 class SessionActor:
     """Holds per-key incremental state: (last_ts, last_source, session_idx)."""
 
-    def __init__(self, gap_us: int, on_source_change: bool, state: dict | None = None):
+    def __init__(
+        self,
+        gap_us: int,
+        on_source_change: bool,
+        state: dict | None = None,
+        key: str = "doc_id",
+        ts_col: str = "ingest_ts",
+    ):
         self.gap_us = gap_us
         self.on_source_change = on_source_change
+        self.key = key
+        self.ts_col = ts_col
         self.state: dict[str, tuple[int, str | None, int]] = state or {}
 
     def process(self, batch: pa.Table) -> pa.Table:
-        """Batch rows MUST arrive in (key, ts) order across calls (the
-        ordered-log contract). Returns the batch + session_id.
+        """Batches MUST arrive in event-time order across calls (the
+        ordered-log contract); WITHIN a batch, rows are key-clustered
+        here (stable sort by key preserves the per-key time order), so
+        interleaved keys in one drop are handled. Returns the batch +
+        session_id, in the batch's ORIGINAL row order.
 
         Vectorized: in-batch breaks (time gap / source change) are numpy
         segment ops; the carried state is consulted only at SEGMENT HEADS
@@ -46,14 +58,14 @@ class SessionActor:
         n = len(batch)
         if n == 0:
             return batch.append_column("session_id", pa.array(np.array([], np.int64)))
-        kcol = batch["doc_id"]
+        kcol = batch[self.key]
         if isinstance(kcol, pa.ChunkedArray):
             kcol = kcol.combine_chunks()
         kdic = kcol.dictionary_encode()
         codes = kdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         kvals = kdic.dictionary.to_pylist()
         ts = (
-            batch["ingest_ts"].combine_chunks()
+            batch[self.ts_col].combine_chunks()
             .to_numpy(zero_copy_only=False)
             .astype("datetime64[us]")
             .view(np.int64)
@@ -68,6 +80,15 @@ class SessionActor:
         else:
             scodes = np.zeros(n, dtype=np.int64)
             svals = [None]
+
+        # key-cluster the batch: a key appearing in two non-adjacent runs
+        # would consult stale pre-batch state at its second head. Stable
+        # sort by key code keeps per-key rows in input (event-time) order;
+        # session ids are scattered back to the original row order below.
+        order = np.argsort(codes, kind="stable")
+        identity = bool(np.all(order == np.arange(n)))
+        if not identity:
+            codes, ts, scodes = codes[order], ts[order], scodes[order]
 
         new_seg = np.r_[True, codes[1:] != codes[:-1]]
         brk = np.r_[False, (ts[1:] - ts[:-1]) > self.gap_us]
@@ -95,6 +116,10 @@ class SessionActor:
         seg_ends = np.r_[seg_starts[1:], n] - 1
         for j, e in enumerate(seg_ends):
             self.state[kvals[codes[e]]] = (int(ts[e]), svals[scodes[e]], int(out[e]))
+        if not identity:
+            unsorted = np.empty(n, dtype=np.int64)
+            unsorted[order] = out
+            out = unsorted
         return batch.append_column("session_id", pa.array(out))
 
     def get_state(self) -> dict:
@@ -116,7 +141,9 @@ def process_ordered_stream(
     import zlib
 
     actors = [
-        SessionActor.remote(gap_us, on_source_change, states[i] if states else None)
+        SessionActor.remote(
+            gap_us, on_source_change, states[i] if states else None, key=key
+        )
         for i in range(n_actors)
     ]
     futures = []

@@ -72,12 +72,13 @@ def tokenize(
         out = out.append_column("n_words", pc.list_value_length(words).cast(pa.int32()))
         if vocab is not None:
             flat = words.flatten()
-            uniq = pc.unique(flat)
-            lut = {u: _word_id(u, vocab, id_scheme) for u in uniq.to_pylist()}
+            # dictionary_encode already yields exactly the distinct words:
+            # map the dictionary directly (no separate pc.unique pass + lut)
             dic = flat.dictionary_encode()
             codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             mapped = np.array(
-                [lut[u] for u in dic.dictionary.to_pylist()], dtype=np.int32
+                [_word_id(u, vocab, id_scheme) for u in dic.dictionary.to_pylist()],
+                dtype=np.int32,
             )
             offsets = words.offsets
             toks = pa.ListArray.from_arrays(offsets, pa.array(mapped[codes]))
@@ -110,6 +111,12 @@ def word_stats(
         if isinstance(gcol, pa.ChunkedArray):
             gcol = gcol.combine_chunks()
         gdic = gcol.dictionary_encode()
+        # null group values: fill indices with a sentinel slot appended to
+        # the dictionary (a NaN-cast index would wrap to garbage and index
+        # gnames out of bounds); rendered 'None' like _as_string_array
+        g_idx = gdic.indices.fill_null(len(gdic.dictionary)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         wdic = flat.dictionary_encode()
         wcodes = wdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         nw = len(wdic.dictionary)
@@ -118,12 +125,14 @@ def word_stats(
         uniq_rw, c_rw = np.unique(key_rw, return_counts=True)
         row_of = uniq_rw // nw
         word_of = uniq_rw % nw
-        grp_of = gdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)[row_of]
+        grp_of = g_idx[row_of]
         key_gw = grp_of * nw + word_of
         uniq_gw, inv = np.unique(key_gw, return_inverse=True)
         occ = np.bincount(inv, weights=c_rw.astype(np.float64))
         df = np.bincount(inv)
-        gnames = np.asarray([str(x) for x in gdic.dictionary.to_pylist()], dtype=object)
+        gnames = np.asarray(
+            [str(x) for x in gdic.dictionary.to_pylist()] + ["None"], dtype=object
+        )
         wnames = np.asarray([str(x) for x in wdic.dictionary.to_pylist()], dtype=object)
         return pa.table(
             {
@@ -209,12 +218,16 @@ def token_counts(
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        # fill_null(0): a null count would NaN-cast to INT64_MIN and
+        # corrupt every downstream sum — null text counts as 0 tokens
         n_tok = (
-            pc.count_substring_regex(text, pattern)
+            pc.fill_null(pc.count_substring_regex(text, pattern), 0)
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_chars = pc.fill_null(pc.utf8_length(text), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
         cpt = np.divide(n_chars, n_tok, out=np.zeros(len(batch)), where=n_tok > 0)
         return (
             batch.append_column("n_tokens", pa.array(n_tok))
@@ -241,7 +254,9 @@ def quality_scores(ds: Dataset, text_col: str = "text") -> Dataset:
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = pc.fill_null(pc.utf8_length(text), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
         pad = np.zeros(len(wlen) + 1)
         np.cumsum(wlen, out=pad[1:])

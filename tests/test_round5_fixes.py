@@ -520,3 +520,115 @@ def test_embedding_dedup_empty_and_singleton_bucket_schema(ray_session):
     )
     pairs = embedding_dedup(rd.from_arrow(t), threshold=0.999999).to_pandas()
     assert len(pairs) == 0  # random vectors: no near-dups at this threshold
+
+
+# ---- fourth-review fixes: text/aggregates/ranks/streaming hardening ----
+
+
+def test_pivot_wide_int_pivot_column_not_zeroed(ray_session):
+    """Int-typed pivot columns must produce real counts — the str()-cast
+    categories previously reindexed against raw int column labels and
+    silently zeroed the whole output."""
+    import ray.data as rd
+
+    from modlyn_ray.stages.aggregates import pivot_wide
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "b", "b", "b"]),
+            "year": pa.array([2023, 2024, 2023, 2023, None], pa.int64()),
+        }
+    )
+    out = (
+        pivot_wide(rd.from_arrow(t), ["g"], "year")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["g", "2023", "2024"]
+    assert out["2023"].tolist() == [1, 2]  # null pivot value dropped
+    assert out["2024"].tolist() == [1, 0]
+
+
+def test_grouped_corr_skips_null_pairs(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.aggregates import grouped_corr
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4),
+            "x": pa.array([1.0, 2.0, None, 3.0]),
+            "y": pa.array([2.0, 4.0, 6.0, 6.0]),
+        }
+    )
+    out = grouped_corr(rd.from_arrow(t), "x", "y", ["g"])
+    # SQL corr() over the 3 non-null pairs (1,2),(2,4),(3,6) = exactly 1
+    assert out["n"].tolist() == [3]
+    np.testing.assert_allclose(out["corr"].to_numpy(), [1.0], rtol=1e-12)
+
+
+def test_rank_null_values_are_peers(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.ranks import rank_kernel
+
+    t = pa.table(
+        {
+            "user_id": pa.array(["u"] * 4),
+            "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "value": pa.array([5.0, None, None, 7.0]),
+        }
+    )
+    out = rank_kernel(t).to_pandas().sort_values("event_id")
+    by_ev = dict(zip(out["event_id"], zip(out["rnk"], out["drnk"])))
+    assert by_ev[4] == (1, 1) and by_ev[1] == (2, 2)  # DESC: 7 then 5
+    assert by_ev[2] == by_ev[3] == (3, 3)  # NULL peers share the rank, last
+
+
+def test_word_stats_null_group_survives(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.text import word_stats
+
+    t = pa.table(
+        {
+            "source": pa.array(["s0", None]),
+            "text": pa.array(["hello world", "hello there"]),
+        }
+    )
+    out = word_stats(rd.from_arrow(t), group_col="source").to_pandas()
+    assert set(out["source"]) == {"s0", "None"}
+    hello = out[out["word"] == "hello"]
+    assert len(hello) == 2  # one row per group, no crash / garbage index
+
+
+def test_streaming_interleaved_keys_and_custom_key(ray_session):
+    """A drop in pure event-time order interleaves keys; the actor must
+    key-cluster internally so the second run of a key sees fresh state.
+    Also: the key parameter must actually be honored."""
+    from modlyn_ray.stages.streaming import process_ordered_stream
+
+    HOUR = 3_600_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array(["A", "B", "A"]),
+            "ingest_ts": pa.array([0, 60_000_000, 3 * HOUR], pa.timestamp("us")),
+            "source": pa.array(["w", "w", "w"]),
+        }
+    )
+    out, _ = process_ordered_stream([t], n_actors=2, key="user_id")
+    df = out.to_pandas().sort_values("ingest_ts").reset_index(drop=True)
+    a = df[df["user_id"] == "A"]["session_id"].tolist()
+    assert a == [0, 1]  # 3h gap starts a new session, not stale state
+
+
+def test_token_counts_null_text_is_zero(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.text import token_counts
+
+    t = pa.table({"text": pa.array(["one two", None])})
+    out = token_counts(rd.from_arrow(t)).to_pandas()
+    assert out["n_tokens"].tolist() == [2, 0]
