@@ -129,11 +129,16 @@ def topk_per_class(scores: Dataset, k: int, score_col: str = "score") -> Dataset
     inside map_groups, no global sort."""
 
     def top(group: pd.DataFrame) -> pd.DataFrame:
+        # deterministic |score| ties: pin token_id ascending (matching the
+        # row_number-over-(abs(score) DESC, token_id) SQL oracle shape) —
+        # argpartition alone kept whichever tied row arrived first, and Ray
+        # block order is not deterministic run-to-run
         a = group[score_col].abs().to_numpy()
+        toks = group["token_id"].to_numpy()
+        order = np.lexsort((toks, -a))
         kk = min(k, len(a))
-        idx = np.argpartition(-a, kk - 1)[:kk]
-        out = group.iloc[idx].copy()
-        out["rank"] = np.argsort(-out[score_col].abs().to_numpy(), kind="stable").argsort() + 1
-        return out.sort_values("rank")
+        out = group.iloc[order[:kk]].copy()
+        out["rank"] = np.arange(1, kk + 1)
+        return out
 
     return scores.groupby("class").map_groups(top, batch_format="pandas")

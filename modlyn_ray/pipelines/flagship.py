@@ -240,12 +240,25 @@ def pit_features(
     )
 
     if doc_attrs is None:
+        import pyarrow.compute as _pc
+
         seq = sequences.map_batches(
             add_row_mix, batch_format="pyarrow", zero_copy_batch=True
         )
         if not emit_tokens:
             seq = seq.drop_columns(["tokens"])
-        return windowize(
+        elif narrow_tokens:
+            # honor the narrowing on the windows-only path too (it was
+            # silently ignored): tokens ride the exchange as list<int16>
+            # (safe cast — loud past int16), restored to int32 after
+            def _narrow(b: pa.Table) -> pa.Table:
+                i = b.schema.get_field_index("tokens")
+                return b.set_column(
+                    i, "tokens", _pc.cast(b["tokens"], pa.list_(pa.int16()))
+                )
+
+            seq = seq.map_batches(_narrow, batch_format="pyarrow", zero_copy_batch=True)
+        out = windowize(
             seq,
             lag_cols=["n_tok"],
             lead_cols=["n_tok"],
@@ -255,6 +268,15 @@ def pit_features(
             n_buckets=n_buckets,
             heavy=heavy,
         )
+        if emit_tokens and narrow_tokens:
+            def _widen(b: pa.Table) -> pa.Table:
+                i = b.schema.get_field_index("tokens")
+                return b.set_column(
+                    i, "tokens", _pc.cast(b["tokens"], pa.list_(pa.int32()))
+                )
+
+            out = out.map_batches(_widen, batch_format="pyarrow", zero_copy_batch=True)
+        return out
 
     import pyarrow.compute as pc
 

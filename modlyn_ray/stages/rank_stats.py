@@ -35,15 +35,17 @@ _VMASK = (1 << _VBITS) - 1
 
 def make_rank_partials(class_lut: dict[str, int]):
     def partial(batch: pa.Table) -> pa.Table:
+        from modlyn_ray.util import encode_labels
+
+        # rows whose source is outside the class set (an explicit
+        # ``classes`` subset — the scanpy ``groups`` analog) are EXCLUDED
+        # from the rank universe, instead of a bare worker KeyError
+        scode_all = encode_labels(batch["source"], class_lut)
+        if (scode_all < 0).any():
+            batch = batch.filter(pa.array(scode_all >= 0))
+            scode_all = scode_all[scode_all >= 0]
         n = len(batch)
-        src = batch["source"]
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        sdic = src.dictionary_encode()
-        sidx = sdic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        scode = np.array(
-            [class_lut[str(u)] for u in sdic.dictionary.to_pylist()], dtype=np.int64
-        )[sidx]
+        scode = scode_all
 
         toks = batch["tokens"]
         if isinstance(toks, pa.ChunkedArray):
@@ -55,6 +57,11 @@ def make_rank_partials(class_lut: dict[str, int]):
         row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
 
         vmax = int(flat.max()) + 1 if len(flat) else 1
+        if len(flat) and (int(flat.min()) < 0 or vmax - 1 >= (1 << _TBITS)):
+            raise ValueError(
+                "rank_stats: token ids must be in [0, 2^31) to fit the "
+                "packed key's token field"
+            )
         key_rt = row_idx * vmax + flat
         uniq_rt, c_rt = np.unique(key_rt, return_counts=True)
         row_of = uniq_rt // vmax
@@ -121,7 +128,9 @@ def wilcoxon_scores(
     tok = (keys >> _VBITS) & ((1 << _TBITS) - 1)
     val = keys & _VMASK
 
-    sent_mask = tok == ((1 << _TBITS) - 1)
+    # sentinel = token slot all-ones AND value 0 (real per-sequence counts
+    # are clamped >= 1, so a genuine token id 2^31-1 can never collide)
+    sent_mask = (tok == ((1 << _TBITS) - 1)) & (val == 0)
     n_c = np.zeros(K)
     n_c[cls[sent_mask]] = occ[sent_mask]
     N = n_c.sum()

@@ -288,7 +288,27 @@ def window_kernel(
     co-located in ``group``; sorts internally)."""
     n = len(group)
     if n == 0:
-        return group
+        # emit the SAME schema as the non-empty path: a 0-row bucket (e.g.
+        # an attr-only bucket in the fused PIT merge) must not produce a
+        # block missing the window columns — schema unification fails
+        out = group
+        for c in lag_cols:
+            for k in range(1, (lag_steps or 1) + 1):
+                out = out.append_column(f"lag{k}_{c}", pa.nulls(0, group.schema.field(c).type))
+        for c in lead_cols:
+            for k in range(1, (lead_steps or 1) + 1):
+                out = out.append_column(f"lead{k}_{c}", pa.nulls(0, group.schema.field(c).type))
+        if sessionize:
+            out = out.append_column("session_id", pa.nulls(0, pa.int64()))
+        for c in prefix_sum_cols:
+            out = out.append_column(f"cum_{c}", pa.nulls(0, pa.float64()))
+        if rolling_cols:
+            for c in rolling_cols:
+                out = out.append_column(f"roll_sum_{c}", pa.nulls(0, pa.float64()))
+                out = out.append_column(f"roll_cnt_{c}", pa.nulls(0, pa.int64()))
+        for c in backfill_cols:
+            out = out.append_column(f"{c}_ffill", pa.nulls(0, group.schema.field(c).type))
+        return out
     docs = _doc_codes(group[by])
     ts = _ts_int(group[ts_col])
     tie = (

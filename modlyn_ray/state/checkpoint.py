@@ -114,7 +114,6 @@ def run_stage(
 
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
 
     t0 = time.perf_counter()
@@ -150,6 +149,9 @@ def run_stage(
             f,
             indent=2,
         )
+    # the previous checkpoint survives until the replacement is fully
+    # built: a build/write failure above leaves the old output intact
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)
     return rd.read_parquet(data_dir)
 
@@ -211,7 +213,10 @@ def run_stage_partitioned(
 
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir, partition_col, config=config)
-    missing = [p for p in all_partitions if p not in done]
+    # compare by string rendering: hive dir names are strings, so an
+    # int-coerced ``done`` would never match string-typed partition values
+    done_s = {str(d) for d in done}
+    missing = [p for p in all_partitions if str(p) not in done_s]
     if missing:
         ds = build_for_partitions(missing)
         t0 = time.perf_counter()
@@ -246,7 +251,11 @@ def run_stage_partitioned(
                         "stage": stage_name,
                         "partition": name,
                         "rows": sum(fr["rows"] for fr in files),
+                        # wall time of the whole missing-partition batch —
+                        # partitions are built in ONE Ray job; divide by
+                        # batch_partitions for a per-partition estimate
                         "wall_sec": round(wall, 4),
+                        "batch_partitions": len(missing),
                         "files": files,
                         "config": config or {},
                         "tokens_checksum": checksum,
@@ -258,6 +267,31 @@ def run_stage_partitioned(
             shutil.rmtree(dst, ignore_errors=True)
             os.rename(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
+        # partitions that produced ZERO rows leave no hive directory —
+        # record them as complete (empty data dir + manifest) or they stay
+        # "missing" forever and every later call re-runs the whole build
+        still_missing = completed_partitions(out_dir, partition_col, config=config)
+        still_missing = {str(d) for d in still_missing}
+        for p in missing:
+            if str(p) in still_missing:
+                continue
+            pdir = os.path.join(out_dir, f"{partition_col}={p}")
+            os.makedirs(os.path.join(pdir, "data"), exist_ok=True)
+            with open(os.path.join(pdir, MANIFEST), "w") as f:
+                json.dump(
+                    {
+                        "stage": stage_name,
+                        "partition": f"{partition_col}={p}",
+                        "rows": 0,
+                        "wall_sec": round(wall, 4),
+                        "batch_partitions": len(missing),
+                        "files": [],
+                        "config": config or {},
+                        "tokens_checksum": 0 if token_checksum else None,
+                        "created_unix": time.time(),
+                    },
+                    f,
+                )
     data_files = []
     for n in sorted(os.listdir(out_dir)):
         if n.startswith(f"{partition_col}="):

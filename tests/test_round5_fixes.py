@@ -632,3 +632,149 @@ def test_token_counts_null_text_is_zero(ray_session):
     t = pa.table({"text": pa.array(["one two", None])})
     out = token_counts(rd.from_arrow(t)).to_pandas()
     assert out["n_tokens"].tolist() == [2, 0]
+
+
+# ---- fifth-review fixes: flagship/rank_stats/checkpoint/jaccard ----
+
+
+def test_pit_attr_only_bucket_schema_consistent(ray_session):
+    """doc_attrs for a doc_id with NO sequence rows: the attr-only bucket
+    must emit the full window-column schema, not a narrower block."""
+    import ray.data as rd
+
+    from modlyn_ray.pipelines.flagship import pit_features
+
+    seqs = pa.table(
+        {
+            "doc_id": pa.array(["d1"]),
+            "tokens": pa.array([[1, 2]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2], pa.int32()),
+            "source": pa.array(["s0"]),
+            "ingest_ts": pa.array([100], pa.timestamp("us")),
+            "seq_no": pa.array([0], pa.int64()),
+        }
+    )
+    attrs = pa.table(
+        {
+            "doc_id": pa.array(["d1", "zz-orphan"]),
+            "ingest_ts": pa.array([50, 60], pa.timestamp("us")),
+            "attr_val": pa.array([1.5, 9.9]),
+        }
+    )
+    # n_buckets=1 wouldn't isolate; use enough buckets that the orphan is
+    # likely alone, and just require the pipeline to complete with a
+    # stable schema either way
+    out = pit_features(
+        rd.from_arrow(seqs), rd.from_arrow(attrs), n_buckets=8, detect_skew=False
+    ).to_pandas()
+    assert len(out) == 1
+    assert {"session_id", "cum_n_tok", "cum_row_mix", "lag1_n_tok"} <= set(out.columns)
+    assert out.loc[0, "attr_val_asof"] == 1.5
+
+
+def test_window_kernel_empty_bucket_schema():
+    from modlyn_ray.stages.temporal import window_kernel
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "ingest_ts": pa.array([], pa.timestamp("us")),
+            "seq_no": pa.array([], pa.int64()),
+            "n_tok": pa.array([], pa.int32()),
+        }
+    )
+    out = window_kernel(
+        t, lag_cols=["n_tok"], lead_cols=["n_tok"], backfill_cols=["n_tok"],
+        prefix_sum_cols=["n_tok"], rolling_cols=["n_tok"], sessionize=True,
+        session_gap_us=1, session_on_source_change=False,
+        by="doc_id", ts_col="ingest_ts", tie_col="seq_no",
+    )
+    assert {"lag1_n_tok", "lead1_n_tok", "session_id", "cum_n_tok",
+            "roll_sum_n_tok", "roll_cnt_n_tok", "n_tok_ffill"} <= set(out.column_names)
+    assert len(out) == 0
+
+
+def test_wilcoxon_max_int31_token_not_swallowed_as_sentinel(ray_session):
+    """Token id 2^31-1 must be scored, not consumed as the class-size
+    sentinel (which now also requires value == 0)."""
+    import ray.data as rd
+
+    from modlyn_ray.stages.rank_stats import wilcoxon_scores
+
+    big = 2**31 - 1
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a", "b", "b"]),
+            "tokens": pa.array([[big], [big, big], [1], [1]], pa.list_(pa.int64())),
+        }
+    )
+    out = wilcoxon_scores(rd.from_arrow(t)).to_pandas()
+    assert set(out["token_id"]) == {1, big}
+    assert np.isfinite(out["score"]).all()
+
+
+def test_wilcoxon_classes_subset_filters(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.stages.rank_stats import wilcoxon_scores
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "b", "control", "a", "b"]),
+            "tokens": pa.array([[1], [2], [3], [1, 2], [2]], pa.list_(pa.int32())),
+        }
+    )
+    out = wilcoxon_scores(rd.from_arrow(t), classes=["a", "b"]).to_pandas()
+    assert set(out["class"]) == {"a", "b"}
+    assert 3 not in set(out["token_id"])  # control rows excluded entirely
+
+
+def test_partitioned_resume_records_empty_partitions(ray_session, tmp_path):
+    """A partition producing zero rows must be recorded complete, or every
+    later call re-runs the whole build."""
+    import ray.data as rd
+
+    from modlyn_ray.state.checkpoint import run_stage_partitioned
+
+    calls = []
+
+    def build(missing):
+        calls.append(list(missing))
+        t = pa.table(
+            {
+                "bucket": pa.array([0, 0, 2], pa.int64()),
+                "x": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+        ms = set(int(m) for m in missing)
+
+        def keep(b: pa.Table) -> pa.Table:
+            m = np.isin(b["bucket"].to_numpy(zero_copy_only=False), list(ms))
+            return b.filter(pa.array(m))
+
+        return rd.from_arrow(t).map_batches(keep, batch_format="pyarrow")
+
+    out_dir = str(tmp_path / "stage")
+    run_stage_partitioned(out_dir, "s", build, all_partitions=[0, 1, 2])
+    assert calls == [[0, 1, 2]]  # bucket 1 is empty
+    run_stage_partitioned(out_dir, "s", build, all_partitions=[0, 1, 2])
+    assert calls == [[0, 1, 2]]  # second call: nothing missing, no rebuild
+
+
+def test_topk_per_class_deterministic_ties(ray_session):
+    import ray.data as rd
+
+    from modlyn_ray.eval.jaccard import topk_per_class
+
+    t = pa.table(
+        {
+            "class": pa.array(["c"] * 4),
+            "token_id": pa.array([7, 3, 9, 1], pa.int32()),
+            "score": pa.array([-2.0, 2.0, 2.0, 5.0]),
+            "method": pa.array(["m"] * 4),
+        }
+    )
+    out = topk_per_class(rd.from_arrow(t), k=3).to_pandas().sort_values("rank")
+    # |5| first, then the three |2| ties resolve by token_id asc -> 3 wins
+    assert out["token_id"].tolist() == [1, 3, 7]
+    assert out["rank"].tolist() == [1, 2, 3]
