@@ -113,6 +113,22 @@ class SimpleLogReg:
             ds, val_ds = split_train_val(ds, val_fraction)
         if strategy == "fullbatch":
             self.model = fit_logreg_fullbatch(ds, self.config, steps=max_steps)
+            if val_ds is not None:
+                # the fullbatch trainer has no per-epoch val loop; run ONE
+                # frozen-weight eval pass so the split-off rows still buy
+                # metrics instead of being silently discarded
+                from modlyn_ray.stages.logreg import eval_pass
+
+                self.model.val_history.append(
+                    {
+                        "epoch": self.config.max_epochs,
+                        "step": max_steps,
+                        **eval_pass(
+                            val_ds, self.model.W, self.model.b,
+                            self.model.classes, self.config.log1p,
+                        ),
+                    }
+                )
         else:
             self.model = fit_logreg(ds, self.config, val_ds=val_ds)
         return self
@@ -254,6 +270,15 @@ class CompareScores:
     def compute_jaccard_comparison(self) -> pd.DataFrame:
         from modlyn_ray import oracle
 
+        names = [df.attrs["method_name"] for df in self.dataframes]
+        if len(set(names)) != len(names):
+            # a dict would silently keep only the LAST frame per name and
+            # the pairwise comparison would quietly vanish
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                f"CompareScores: duplicate method_name(s) {dupes} — set a "
+                "distinct df.attrs['method_name'] per frame"
+            )
         frames = {df.attrs["method_name"]: df for df in self.dataframes}
         self.results_df = oracle.jaccard_comparison(frames, self.n_top_values)
         return self.results_df

@@ -84,7 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--threshold", type=float, default=0.8)
 
     sy = sub.add_parser("synth", help="generate a synthetic corpus profile")
-    sy.add_argument("--profile", default="small", choices=["tiny", "small", "bench", "scale"])
+    sy.add_argument(
+        "--profile",
+        default="small",
+        choices=["tiny", "small", "bench", "scale", "scale32"],
+    )
     sy.add_argument("--out")
 
     args = p.parse_args(argv)
@@ -170,6 +174,22 @@ def main(argv: list[str] | None = None) -> int:
                 trained[0].plot_classification_report(
                     path=os.path.join(art, "classification_report.png")
                 )
+        elif args.plots:
+            # resumed from a finished manifest: build never ran, but the
+            # PNGs may not exist (the original run may have skipped
+            # --plots). The loss curve re-renders from the persisted
+            # artifact parquet; the classification report needs a live
+            # evaluate() pass, so say so instead of silently doing nothing.
+            from modlyn_ray.plotting import render_losses_from_artifacts
+
+            art = os.path.join(args.out, "artifacts")
+            render_losses_from_artifacts(art, os.path.join(art, "losses.png"))
+            print(
+                "logreg: resumed from checkpoint — rendered losses.png from "
+                "artifacts; classification_report.png needs a training run "
+                "(delete the output dir or change config to re-train)",
+                file=sys.stderr,
+            )
     elif args.cmd == "dedup":
         from modlyn_ray.stages import dedup as dd
 

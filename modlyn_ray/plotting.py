@@ -478,3 +478,23 @@ def plot_heatmaps(
         with open(path, "wb") as f:
             f.write(png)
     return png
+
+
+def render_losses_from_artifacts(art_dir: str, path: str) -> bytes:
+    """Re-render the losses figure from the persisted S7 artifact parquet
+    (losses.parquet + optional val_history.parquet) — the resume path for
+    ``cli logreg --plots`` when the training stage did not re-run."""
+    import os
+
+    import pandas as pd
+
+    losses = pd.read_parquet(os.path.join(art_dir, "losses.parquet"))
+    vh_path = os.path.join(art_dir, "val_history.parquet")
+    vs, vl = None, None
+    if os.path.exists(vh_path):
+        vh = pd.read_parquet(vh_path)
+        if "val_loss" in vh.columns:
+            vs, vl = vh["step"].tolist(), vh["val_loss"].tolist()
+    return plot_losses(
+        losses["step"].tolist(), losses["loss"].tolist(), vs, vl, path=path
+    )

@@ -68,7 +68,13 @@ def validate_sequences_batch(batch: pa.Table) -> pa.Table:
     if tok_type.value_type != pa.int32():
         raise SchemaError(f"tokens element must be int32, got {tok_type.value_type}")
     lengths = pc.list_value_length(batch["tokens"]).cast(pa.int32())
-    if not pc.all(pc.equal(lengths, batch["n_tok"].combine_chunks())).as_py():
+    eq = pc.equal(lengths, batch["n_tok"].combine_chunks())
+    # nulls in tokens/n_tok make eq null — pc.all would SKIP them (a null
+    # row validating cleanly) and over zero rows returns null (a spurious
+    # failure on empty blocks); check both explicitly
+    if eq.null_count:
+        raise SchemaError("null tokens or n_tok — the invariant needs both")
+    if len(eq) and not pc.all(eq).as_py():
         raise SchemaError("n_tok != len(tokens) for at least one row")
     return batch
 
@@ -89,7 +95,9 @@ def tokens_checksum(batch: pa.Table) -> int:
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
     offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offs = offs - offs[0]  # sliced arrays have non-zero starting offset
-    mixed = (flat * np.uint64(2654435761)) % np.uint64(1 << 61)
+    # +1 so token id 0 contributes (0 * C == 0 made the checksum blind to
+    # adding/dropping id-0 tokens — the most frequent token under Zipf)
+    mixed = ((flat + np.uint64(1)) * np.uint64(2654435761)) % np.uint64(1 << 61)
     pad = np.zeros(len(mixed) + 1, dtype=np.uint64)
     np.cumsum(mixed, out=pad[1:])
     row_sum = pad[offs[1:]] - pad[offs[:-1]]

@@ -61,16 +61,26 @@ def _read_parquet(source, **kwargs) -> Dataset:
     return rd.read_parquet(source, **kwargs)
 
 
-def _read_memory(source, **kwargs) -> Dataset:
+def _read_memory(source, columns=None, **kwargs) -> Dataset:
     import pandas as pd
 
     import ray.data as rd
 
+    if kwargs:
+        # the registry's X2 contract is uniform kwargs pass-through:
+        # silently ignoring them here made behavior schema-dependent
+        raise TypeError(
+            f"memory reader supports only columns=; got {sorted(kwargs)}"
+        )
     if isinstance(source, pa.Table):
-        return rd.from_arrow(source)
-    if isinstance(source, pd.DataFrame):
-        return rd.from_pandas(source)
-    raise TypeError(f"memory reader expects a pyarrow Table or pandas DataFrame, got {type(source)}")
+        ds = rd.from_arrow(source)
+    elif isinstance(source, pd.DataFrame):
+        ds = rd.from_pandas(source)
+    else:
+        raise TypeError(
+            f"memory reader expects a pyarrow Table or pandas DataFrame, got {type(source)}"
+        )
+    return ds.select_columns(list(columns)) if columns is not None else ds
 
 
 READERS: dict[str, Callable[..., Dataset]] = {

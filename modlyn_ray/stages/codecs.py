@@ -186,9 +186,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def encode_wav(samples: np.ndarray, rate: int, width: int = 2) -> bytes:
     """Encode float32 samples (n, channels) in [-1, 1] as PCM WAV bytes."""
-    samples = np.atleast_2d(np.asarray(samples, dtype=np.float64))
-    if samples.shape[0] == 1 and samples.ndim == 2 and samples.shape[1] > 8:
-        samples = samples.T  # tolerate (n,) / (1, n) mono input
+    samples = np.asarray(samples, dtype=np.float64)
+    if samples.ndim == 1:
+        # 1-D input is ALWAYS mono (n samples) — the old > 8-column
+        # heuristic misencoded short mono clips as multi-channel
+        samples = samples[:, None]
+    elif samples.shape[0] == 1 and samples.shape[1] > 8:
+        samples = samples.T  # tolerate legacy (1, n) mono input
     # quantize in float64: 2^31 - 1 is not representable in float32, so a
     # float32 clip would round a full-scale 1.0 sample up to 2^31 and the
     # int32 cast would wrap to INT32_MIN

@@ -179,7 +179,16 @@ def write_profile(profile: SynthProfile, out_dir: str, overwrite: bool = False) 
     """
     marker = os.path.join(out_dir, "_SYNTH_DONE")
     if os.path.exists(marker) and not overwrite:
-        return out_dir
+        # the marker records WHICH profile was written: an out_dir holding
+        # a different profile's data must not be silently returned as-is
+        with open(marker) as f:
+            recorded = f.read().strip()
+        if recorded == f"{profile}":
+            return out_dir
+        raise ValueError(
+            f"synth: {out_dir} holds a different profile ({recorded!r}); "
+            "pass overwrite=True or a fresh out_dir"
+        )
     os.makedirs(os.path.join(out_dir, "sequences"), exist_ok=True)
     tbl = make_sequences(profile)
     shard = max(1, len(tbl) // profile.n_shards)

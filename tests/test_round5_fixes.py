@@ -778,3 +778,89 @@ def test_topk_per_class_deterministic_ties(ray_session):
     # |5| first, then the three |2| ties resolve by token_id asc -> 3 wins
     assert out["token_id"].tolist() == [1, 3, 7]
     assert out["rank"].tolist() == [1, 2, 3]
+
+
+# ---- sixth-review fixes: schema/synth/api/cli/codecs/readers ----
+
+
+def test_validate_sequences_empty_and_null_rows():
+    from modlyn_ray.schema import SchemaError, validate_sequences_batch
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "tokens": pa.array([], pa.list_(pa.int32())),
+            "n_tok": pa.array([], pa.int32()),
+            "source": pa.array([], pa.string()),
+        }
+    )
+    validate_sequences_batch(empty)  # empty blocks are valid, not an error
+
+    nully = pa.table(
+        {
+            "doc_id": pa.array(["a"]),
+            "tokens": pa.array([None], pa.list_(pa.int32())),
+            "n_tok": pa.array([5], pa.int32()),
+            "source": pa.array(["s"]),
+        }
+    )
+    with pytest.raises(SchemaError, match="null"):
+        validate_sequences_batch(nully)  # pc.all's null-skip hid this
+
+
+def test_tokens_checksum_sensitive_to_token_zero():
+    from modlyn_ray.schema import tokens_checksum
+
+    a = pa.table({"tokens": pa.array([[0, 5]], pa.list_(pa.int32()))})
+    b = pa.table({"tokens": pa.array([[5]], pa.list_(pa.int32()))})
+    assert tokens_checksum(a) != tokens_checksum(b)
+
+
+def test_synth_marker_rejects_profile_mismatch(tmp_path):
+    from modlyn_ray import synth
+
+    d = str(tmp_path / "corpus")
+    synth.write_profile(synth.TINY, d)
+    synth.write_profile(synth.TINY, d)  # same profile: cached, fine
+    with pytest.raises(ValueError, match="different profile"):
+        synth.write_profile(synth.SMALL, d)
+
+
+def test_compare_scores_rejects_duplicate_method_names():
+    from modlyn_ray.api import CompareScores
+
+    df1 = pd.DataFrame({"f": [1.0]}, index=["c"])
+    df1.attrs["method_name"] = "m"
+    df2 = pd.DataFrame({"f": [2.0]}, index=["c"])
+    df2.attrs["method_name"] = "m"
+    with pytest.raises(ValueError, match="duplicate method_name"):
+        CompareScores([df1, df2]).compute_jaccard_comparison()
+
+
+def test_encode_wav_short_mono_roundtrip():
+    from modlyn_ray.stages.codecs import decode_wav, encode_wav
+
+    samples, rate = decode_wav(encode_wav(np.array([0.1, 0.2, 0.3]), 8000))
+    assert samples.shape == (3, 1)  # was misencoded as 1 frame x 3 channels
+    assert rate == 8000
+
+
+def test_memory_reader_honors_columns(ray_session):
+    from modlyn_ray.sources.readers import load
+
+    t = pa.table({"a": pa.array([1, 2]), "b": pa.array(["x", "y"])})
+    ds = load(t, dataset_type="memory", columns=["a"])
+    assert ds.schema().names == ["a"]
+    with pytest.raises(TypeError, match="columns"):
+        load(t, dataset_type="memory", bogus=1)
+
+
+def test_fullbatch_fit_runs_val_metrics(ray_session):
+    from modlyn_ray import synth
+    from modlyn_ray.api import SimpleLogReg
+
+    d = synth.ensure_profile(synth.TINY)
+    m = SimpleLogReg(f"{d}/sequences", vocab=synth.TINY.vocab)
+    m.fit(strategy="fullbatch", max_steps=2, val_fraction=0.25)
+    assert m.model.val_history, "val rows were split off but never evaluated"
+    assert "val_loss" in m.model.val_history[-1] or "accuracy" in m.model.val_history[-1]
