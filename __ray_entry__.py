@@ -52,11 +52,13 @@ def _ensure_workers_can_import() -> None:
     global _worker_check_done
     if _worker_check_done:
         return
-    _worker_check_done = True
     import ray
 
     if not ray.is_initialized():
+        # do NOT latch the flag here: a pre-init call (e.g. enumerating
+        # queries()) must not permanently disable the safeguard
         return
+    _worker_check_done = True
 
     @ray.remote(num_cpus=0)
     def _probe() -> bool:
@@ -112,7 +114,6 @@ def entry() -> Any:
     def to_contract(b: pa.Table) -> pa.Table:
         # entity = source stream; event time derived deterministically from
         # doc_id so windows are meaningful at smoke scale
-        n = len(b)
         ts = pc.add(
             pa.scalar(1_700_000_000_000_000),
             pc.multiply(b["doc_id"].cast(pa.int64()), pa.scalar(60_000_000)),

@@ -41,7 +41,13 @@ SESSION_GAP_30M_US = 30 * 60 * 1_000_000
 
 
 def _round(arr: np.ndarray, nd: int) -> np.ndarray:
-    return np.round(arr.astype(np.float64), nd)
+    """Half-AWAY-FROM-ZERO decimal rounding, matching DuckDB's round()
+    (np.round is half-even: np.round(0.0078125, 6) = 0.007812 while
+    DuckDB returns 0.007813 — integer-ratio columns hit such dyadic .5
+    boundaries on real data and would hash-mismatch the oracle)."""
+    a = arr.astype(np.float64)
+    scale = 10.0 ** nd
+    return np.copysign(np.floor(np.abs(a) * scale + 0.5), a) / scale
 
 
 # ===========================================================================
@@ -976,14 +982,16 @@ def q27_token_counts(sf_dir: str) -> pd.DataFrame:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_counts(docs).to_pandas()
     out["chars_per_token"] = _round(out["chars_per_token"], 6)
-    assert "'" not in BPE_SPLIT_PATTERN  # pattern is spliced into the oracle SQL
     return out[["doc_id", "n_tokens", "chars_per_token"]]
 
 
-Q27_SQL = """
-SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT AS n_tokens,
-       round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) = 0 THEN 0.0
-             ELSE length(text)::DOUBLE / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) END, 6) AS chars_per_token
+from modlyn_ray.stages.text import BPE_SPLIT_PATTERN as _BPE_PAT
+
+assert "'" not in _BPE_PAT  # spliced into the SQL literal below
+Q27_SQL = f"""
+SELECT doc_id, len(regexp_extract_all(text, '{_BPE_PAT}'))::BIGINT AS n_tokens,
+       round(CASE WHEN len(regexp_extract_all(text, '{_BPE_PAT}')) = 0 THEN 0.0
+             ELSE length(text)::DOUBLE / len(regexp_extract_all(text, '{_BPE_PAT}')) END, 6) AS chars_per_token
 FROM documents
 """
 
@@ -1104,7 +1112,8 @@ def q45_embed_knn(sf_dir: str) -> pd.DataFrame:
     deterministic) feed the IVF ANN index (stages/ann.py), with recall
     measured against brute-force cosine over the SAME embeddings. Rows-only
     (iterative k-means quantizer), self-validating via the recall floor —
-    the same contract q34 uses for precomputed vectors."""
+    the same recall-floor contract the folded IVF demo used for
+    precomputed vectors (fold map at the top of this module)."""
     from modlyn_ray.stages.ann import knn_brute, knn_ivf, make_queries, train_ivf_centroids
     from modlyn_ray.stages.embed import embed_text
 
@@ -1692,9 +1701,10 @@ FROM sess s ASOF LEFT JOIN purch p
 """
 
 
-def _seq_scalars(b: pa.Table) -> pa.Table:
-    """(doc_id, n_tok) + tok_sum per row — prefix-sum over the flat token
-    buffer, no Python per-row work."""
+def _row_scalars(b: pa.Table, passthrough: tuple[str, ...]) -> pa.Table:
+    """``passthrough`` columns + per-row tok_sum — one prefix-sum over the
+    flat token buffer (offsets rebased for sliced ListArrays), no Python
+    per-row work. Shared by the seq- and chunk-shaped scalar projections."""
     toks = b["tokens"]
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -1703,34 +1713,17 @@ def _seq_scalars(b: pa.Table) -> pa.Table:
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
     pad = np.zeros(len(flat) + 1, dtype=np.int64)
     np.cumsum(flat, out=pad[1:])
-    return pa.table(
-        {
-            "doc_id": b["doc_id"],
-            "n_tok": b["n_tok"],
-            "tok_sum": pa.array(pad[offs[1:]] - pad[offs[:-1]]),
-        }
-    )
+    cols = {c: b[c] for c in passthrough}
+    cols["tok_sum"] = pa.array(pad[offs[1:]] - pad[offs[:-1]])
+    return pa.table(cols)
+
+
+def _seq_scalars(b: pa.Table) -> pa.Table:
+    return _row_scalars(b, ("doc_id", "n_tok"))
 
 
 def _chunk_scalars(b: pa.Table) -> pa.Table:
-    """(doc_id, chunk_no, n_tok) + tok_sum per chunk row — prefix-sum over
-    the flat token buffer, no Python per-row work."""
-    toks = b["tokens"]
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = offs - offs[0]
-    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    pad = np.zeros(len(flat) + 1, dtype=np.int64)
-    np.cumsum(flat, out=pad[1:])
-    return pa.table(
-        {
-            "doc_id": b["doc_id"],
-            "chunk_no": b["chunk_no"],
-            "n_tok": b["n_tok"],
-            "tok_sum": pa.array(pad[offs[1:]] - pad[offs[:-1]]),
-        }
-    )
+    return _row_scalars(b, ("doc_id", "chunk_no", "n_tok"))
 
 
 def q55_chunk_sequences(sf_dir: str) -> pd.DataFrame:
@@ -1858,8 +1851,12 @@ def q58_pack_greedy(sf_dir: str) -> pd.DataFrame:
     from modlyn_ray.stages.tokenops import pack_greedy
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    seqs = tokenize(docs, vocab=4096, id_scheme="md5").select_columns(
-        ["doc_id", "tokens", "n_tok"]
+    # materialize: TWO consumers (the conservation sum + pack_greedy) —
+    # without it the tokenize (per-word md5) plan re-executes per consumer
+    seqs = (
+        tokenize(docs, vocab=4096, id_scheme="md5")
+        .select_columns(["doc_id", "tokens", "n_tok"])
+        .materialize()
     )
     total = int(seqs.sum("n_tok"))
     out = pack_greedy(seqs, context_len=512, n_buckets=32).to_pandas()
@@ -2068,9 +2065,11 @@ ORACLES = {
     "q59_hash_split": Q59_SQL,
     "q60_filter_tokens": Q60_SQL,
     "q61_dedup_tokens": Q61_SQL,
-    # Rows-only (genuinely non-SQL-expressible), each parity-checked in
-    # pytest instead: q50/q53 (iterative Adam training, numpy-oracle
-    # allclose), q32/q33 (hash-specific LSH/simhash pruning; the verify
-    # math is oracle-checked by q25 and partitioning-invariance tests),
-    # q34 (iterative k-means; reports recall vs the in-query brute oracle).
+    # Rows-only (genuinely non-SQL-expressible) — the 9 queries in
+    # queries() without an entry here: q32/q33 (hash-specific LSH/simhash
+    # pruning), q36 (HLL), q44 (mergeable quantile sketch), q45/q47
+    # (embed->IVF recall floor / embed->LSH near-dup), q50/q53 (iterative
+    # Adam training, numpy-oracle allclose), q58 (greedy packing). Each is
+    # parity-checked in pytest or self-validating; the per-query rationale
+    # lives in the __ray_entry__.py module docstring.
 }
